@@ -1,0 +1,46 @@
+"""Analysis transform (image -> latents), NHWC.
+
+Behavioral spec from reference src/network/encoder.py:56-111:
+7x7 stem to 60ch, four asymmetric-reflect-padded stride-2 3x3 convs
+(120/240/480/960), each followed by ChannelNorm + activation, then a
+reflect-padded 3x3 projection to C latent channels. 16x spatial reduction.
+"""
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from hific_tpu.models.layers import Conv, Norm, activation_fn
+from hific_tpu.ops.padding import asymmetric_pad_2x, reflect_pad
+
+ENCODER_FILTERS = (60, 120, 240, 480, 960)
+
+
+class Encoder(nn.Module):
+    C: int = 220  # bottleneck depth
+    activation: str = "relu"
+    norm_type: str = "channel"
+    dtype: Optional[jnp.dtype] = None
+
+    n_downsampling_layers: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        act = activation_fn(self.activation)
+        f = ENCODER_FILTERS
+
+        x = reflect_pad(x, 3)
+        x = Conv(f[0], 7, stride=1, dtype=self.dtype, name="conv_stem")(x)
+        x = Norm(self.norm_type, name="norm_stem")(x)
+        x = act(x)
+
+        for i in range(4):
+            x = asymmetric_pad_2x(x)
+            x = Conv(f[i + 1], 3, stride=2, dtype=self.dtype, name=f"conv_down{i}")(x)
+            x = Norm(self.norm_type, name=f"norm_down{i}")(x)
+            x = act(x)
+
+        x = reflect_pad(x, 1)
+        x = Conv(self.C, 3, stride=1, dtype=self.dtype, name="conv_out")(x)
+        return x

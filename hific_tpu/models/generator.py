@@ -1,0 +1,86 @@
+"""Synthesis transform (quantized latents -> image), NHWC.
+
+Behavioral spec from reference src/network/generator.py:98-168:
+ChannelNorm head conv to 960ch + ChannelNorm, optional noise concat,
+n residual blocks at latent resolution, global skip (x += head), four
+ConvTranspose(3x3, s2, p1, op1) upsamples 960->480->240->120->60 each with
+ChannelNorm + activation, and a 7x7 projection to RGB.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from hific_tpu.models.layers import Conv, ConvTranspose, Norm, activation_fn
+from hific_tpu.ops.padding import reflect_pad
+
+GENERATOR_FILTERS = (960, 480, 240, 120, 60)
+
+
+class ResidualBlock(nn.Module):
+    activation: str = "relu"
+    norm_type: str = "channel"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        act = activation_fn(self.activation)
+        c = x.shape[-1]
+        res = reflect_pad(x, 1)
+        res = Conv(c, 3, stride=1, dtype=self.dtype, name="conv1")(res)
+        res = Norm(self.norm_type, name="norm1")(res)
+        res = act(res)
+        res = reflect_pad(res, 1)
+        res = Conv(c, 3, stride=1, dtype=self.dtype, name="conv2")(res)
+        res = Norm(self.norm_type, name="norm2")(res)
+        return res + x
+
+
+class Generator(nn.Module):
+    C: int = 220
+    n_residual_blocks: int = 9
+    activation: str = "relu"
+    norm_type: str = "channel"
+    sample_noise: bool = False
+    noise_dim: int = 32
+    dtype: Optional[jnp.dtype] = None
+
+    n_upsampling_layers: int = 4
+
+    @nn.compact
+    def __call__(self, y, rng=None):
+        act = activation_fn(self.activation)
+        f = GENERATOR_FILTERS
+
+        head = Norm(self.norm_type, name="norm_in")(y)
+        head = reflect_pad(head, 1)
+        head = Conv(f[0], 3, stride=1, dtype=self.dtype, name="conv_head")(head)
+        head = Norm(self.norm_type, name="norm_head")(head)
+
+        if self.sample_noise:
+            if rng is None:
+                rng = self.make_rng("noise")
+            b, h, w, _ = head.shape
+            z = jax.random.normal(rng, (b, h, w, self.noise_dim), dtype=head.dtype)
+            head = jnp.concatenate([head, z], axis=-1)
+
+        x = head
+        for m in range(self.n_residual_blocks):
+            x = ResidualBlock(
+                self.activation, self.norm_type, self.dtype, name=f"resblock_{m}"
+            )(x)
+        x = x + head  # global skip (reference generator.py:161)
+
+        for i in range(4):
+            x = ConvTranspose(
+                f[i + 1], 3, stride=2, padding=1, output_padding=1,
+                dtype=self.dtype, name=f"upconv{i}",
+            )(x)
+            x = Norm(self.norm_type, name=f"norm_up{i}")(x)
+            x = act(x)
+
+        x = reflect_pad(x, 3)
+        x = Conv(3, 7, stride=1, dtype=self.dtype, name="conv_out")(x)
+        return x
