@@ -1,0 +1,165 @@
+"""HiFiC model facade: Encoder -> Hyperprior -> Generator (+ Discriminator).
+
+Stitches the submodels and owns the forward passes; loss computation lives
+in hific_tpu/training/losses.py (kept functional so the jitted train step
+composes them freely). Behavioral spec from reference src/model.py:119-188.
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from hific_tpu.config import Config, ModelModes
+from hific_tpu.models.discriminator import Discriminator
+from hific_tpu.models.encoder import Encoder
+from hific_tpu.models.generator import Generator
+from hific_tpu.models.hyperprior import Hyperprior, HyperpriorDLMM
+from hific_tpu.ops.padding import pad_factor
+
+
+class Intermediates(NamedTuple):
+    input_image: jnp.ndarray       # [0,1] (or [-1,1] if normalize_input_image)
+    reconstruction: jnp.ndarray
+    latents_quantized: jnp.ndarray
+    n_bpp: jnp.ndarray             # differential-entropy estimate
+    q_bpp: jnp.ndarray             # Shannon-entropy estimate
+
+
+class DiscOut(NamedTuple):
+    d_real: jnp.ndarray
+    d_gen: jnp.ndarray
+    d_real_logits: jnp.ndarray
+    d_gen_logits: jnp.ndarray
+
+
+class HiFiC(nn.Module):
+    """Flagship model. NHWC throughout."""
+
+    config: Config
+
+    def setup(self):
+        cfg = self.config
+        C = cfg.effective_latent_channels
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
+
+        self.encoder = Encoder(C=C, norm_type=cfg.norm_type, dtype=dtype)
+        self.generator = Generator(
+            C=C,
+            n_residual_blocks=cfg.n_residual_blocks,
+            norm_type=cfg.norm_type,
+            sample_noise=cfg.sample_noise,
+            noise_dim=cfg.noise_dim,
+            dtype=dtype,
+        )
+        if cfg.use_latent_mixture_model:
+            self.hyperprior = HyperpriorDLMM(
+                C=C,
+                hyperlatent_filters=cfg.hyperlatent_filters,
+                likelihood_type=cfg.likelihood_type,
+                mixture_components=cfg.mixture_components,
+                dtype=dtype,
+            )
+        else:
+            self.hyperprior = Hyperprior(
+                C=C,
+                hyperlatent_filters=cfg.hyperlatent_filters,
+                likelihood_type=cfg.likelihood_type,
+                dtype=dtype,
+            )
+        if cfg.use_discriminator:
+            self.discriminator = Discriminator(dtype=dtype)
+
+    # ----- forward passes ---------------------------------------------------
+
+    def __call__(self, x, rng=None, training: bool = True,
+                 mode: str = ModelModes.TRAINING):
+        """Compression forward (reference model.py:119-165).
+
+        x: (N,H,W,3) in [0,1] (or [-1,1] if config.normalize_input_image).
+        Returns (intermediates, hyperinfo).
+        """
+        cfg = self.config
+        spatial_shape = x.shape[1:3]
+        evaluation = mode == ModelModes.EVALUATION and not training
+
+        if evaluation:
+            x = pad_factor(x, 2 ** self.encoder.n_downsampling_layers)
+
+        y = self.encoder(x)
+
+        if evaluation:
+            y = pad_factor(y, 2 ** self.hyperprior.analysis_net.n_downsampling_layers)
+
+        hyperinfo = self.hyperprior(y, spatial_shape, rng=rng, training=training)
+
+        reconstruction = self.generator(hyperinfo.decoded)
+        if cfg.normalize_input_image:
+            reconstruction = jnp.tanh(reconstruction)
+
+        if evaluation:
+            reconstruction = reconstruction[:, : spatial_shape[0], : spatial_shape[1], :]
+            x = x[:, : spatial_shape[0], : spatial_shape[1], :]
+
+        intermediates = Intermediates(
+            input_image=x,
+            reconstruction=reconstruction,
+            latents_quantized=hyperinfo.decoded,
+            n_bpp=hyperinfo.total_nbpp,
+            q_bpp=hyperinfo.total_qbpp,
+        )
+        return intermediates, hyperinfo
+
+    def discriminator_forward(self, intermediates: Intermediates,
+                              train_generator: bool, update_stats: bool = True):
+        """Real/generated batches through the conditional discriminator in
+        one pass (reference model.py:167-188)."""
+        x_gen = intermediates.reconstruction
+        x_real = intermediates.input_image
+        if not train_generator:
+            x_gen = jax.lax.stop_gradient(x_gen)
+        d_in = jnp.concatenate([x_real, x_gen], axis=0)
+        latents = jax.lax.stop_gradient(intermediates.latents_quantized)
+        latents = jnp.concatenate([latents, latents], axis=0)
+        d_out, d_out_logits = self.discriminator(d_in, latents,
+                                                 update_stats=update_stats)
+        d_out, d_out_logits = jnp.squeeze(d_out, -1), jnp.squeeze(d_out_logits, -1)
+        n = d_out.shape[0] // 2
+        return DiscOut(d_out[:n], d_out[n:], d_out_logits[:n], d_out_logits[n:])
+
+    # ----- codec-side pieces (called via nn.apply with method=...) ----------
+
+    def encode(self, x):
+        """Image -> padded latents y + original spatial shape, evaluation
+        padding semantics (reference model.py:277-290)."""
+        spatial_shape = x.shape[1:3]
+        x = pad_factor(x, 2 ** self.encoder.n_downsampling_layers)
+        y = self.encoder(x)
+        y = pad_factor(y, 2 ** self.hyperprior.analysis_net.n_downsampling_layers)
+        return y, spatial_shape
+
+    def hyper_analyze(self, y):
+        return self.hyperprior.analyze(y)
+
+    def hyper_synthesize(self, z_decoded):
+        return self.hyperprior.synthesize(z_decoded)
+
+    def hyperlatent_likelihood_at(self, z):
+        """Evaluate the learned hyperlatent density (for table building and
+        bit estimates); z is (C, 1, M) collapsed format."""
+        return self.hyperprior.hyperlatent_density.likelihood_collapsed(z)
+
+    def hyperlatent_cdf_logits(self, z):
+        return self.hyperprior.hyperlatent_density.cdf_logits(z, stop_gradient=True)
+
+    def generate(self, latents_decoded, spatial_shape):
+        """Quantized latents -> clamped [0,1] reconstruction (reference
+        model.py:312-344)."""
+        reconstruction = self.generator(latents_decoded)
+        if self.config.normalize_input_image:
+            reconstruction = jnp.tanh(reconstruction)
+        reconstruction = reconstruction[:, : spatial_shape[0], : spatial_shape[1], :]
+        if self.config.normalize_input_image:
+            reconstruction = (reconstruction + 1.0) / 2.0
+        return jnp.clip(reconstruction, 0.0, 1.0)
