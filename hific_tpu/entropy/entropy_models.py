@@ -1,0 +1,160 @@
+"""Host-side entropy models: quantize symbols, select CDF rows, run rANS.
+
+Equivalents of the reference's HyperpriorEntropyModel
+(src/compression/hyperprior_model.py:21-249) and PriorEntropyModel
+(src/compression/prior_model.py:29-248), restructured as stateless-ish host
+classes over `CdfTables`. All tensors here are numpy in NCHW — the codec
+transposes at the device boundary — so the lane layout (channels-as-lanes,
+row-major spatial walk) matches the reference bitstream.
+"""
+
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+from hific_tpu.entropy import coding
+from hific_tpu.entropy.tables import (
+    CdfTables,
+    SCALES_MIN,
+    build_factorized_tables,
+    build_scale_tables,
+    compute_scale_indices,
+    estimate_tails,
+    prior_scale_table,
+)
+from hific_tpu.models.density import PRECISION_P, TAIL_MASS
+
+import jax.numpy as jnp
+import numpy as onp
+
+
+class FactorizedEntropyModel:
+    """Entropy model for the learned factorized hyperlatent density: one CDF
+    row per channel, parameters independent of the data."""
+
+    def __init__(self, cdf_logits_fn: Callable, likelihood_fn: Callable,
+                 n_channels: int, tail_mass: float = TAIL_MASS,
+                 precision: int = PRECISION_P):
+        """cdf_logits_fn / likelihood_fn: jax callables on (C,1,M) arrays
+        (bound from HyperlatentDensity with trained params)."""
+        self.cdf_logits_fn = cdf_logits_fn
+        self.likelihood_fn = likelihood_fn
+        self.n_channels = n_channels
+        self.tail_mass = float(tail_mass)
+        self.precision = int(precision)
+        self.tables: Optional[CdfTables] = None
+        self.medians: Optional[np.ndarray] = None
+
+    def build_tables(self):
+        shape = (self.n_channels, 1, 1)
+        target = float(np.log(2.0 / self.tail_mass - 1.0))
+        lower = np.asarray(
+            estimate_tails(self.cdf_logits_fn, -target, shape)).reshape(-1)
+        upper = np.asarray(
+            estimate_tails(self.cdf_logits_fn, target, shape)).reshape(-1)
+        self.medians = np.asarray(
+            estimate_tails(self.cdf_logits_fn, 0.0, shape)).reshape(-1)
+        self.tables = build_factorized_tables(
+            self.likelihood_fn, lower, upper, self.precision)
+        return self.tables
+
+    def _indices(self, batch: int, broadcast_shape) -> np.ndarray:
+        idx = np.arange(self.n_channels, dtype=np.int32).reshape(-1, 1, 1)
+        idx = np.broadcast_to(idx, (self.n_channels, *broadcast_shape))
+        return np.broadcast_to(idx[None], (batch, *idx.shape))
+
+    def compress(self, z: np.ndarray, vectorize: bool = True
+                 ) -> Tuple[np.ndarray, tuple]:
+        """z: float (N,C,H,W). Returns (uint32 stream, coding_shape)."""
+        assert self.tables is not None, "call build_tables() first"
+        symbols = np.floor(z + 0.5).astype(np.int32)
+        indices = self._indices(z.shape[0], z.shape[2:])
+        enc = coding.encode_indexed if vectorize else coding.encode_indexed_scalar
+        encoded, coding_shape = enc(symbols, indices, self.tables.cdf,
+                                    self.tables.cdf_length,
+                                    self.tables.cdf_offset, self.precision)
+        return encoded, coding_shape
+
+    def decompress(self, encoded: np.ndarray, batch: int, broadcast_shape,
+                   vectorize: bool = True) -> np.ndarray:
+        assert self.tables is not None
+        indices = self._indices(batch, broadcast_shape)
+        dec = coding.decode_indexed if vectorize else coding.decode_indexed_scalar
+        symbols = dec(encoded, indices, self.tables.cdf,
+                      self.tables.cdf_length, self.tables.cdf_offset,
+                      self.precision, inverse_table=self.tables.inverse)
+        return symbols.astype(np.float32)
+
+    def estimate_bits(self, z: np.ndarray, spatial_shape) -> Tuple[float, float, float]:
+        """(total bits, bpp, bits-per-image) under the learned density, after
+        hard quantization (reference hyperprior_model.py:108-133)."""
+        q = np.floor(np.asarray(z) + 0.5)
+        flat = jnp.asarray(
+            q.transpose(1, 0, 2, 3).reshape(q.shape[1], 1, -1), jnp.float32)
+        lik = np.asarray(self.likelihood_fn(flat), np.float64)
+        bits = float(-np.sum(np.log(lik + 1e-9)) / np.log(2.0))
+        n_pixels = float(np.prod(spatial_shape))
+        return bits, bits / n_pixels, bits / q.shape[0]
+
+
+class ConditionalEntropyModel:
+    """Entropy model for the mean-scale conditional latent prior: a static
+    log-spaced scale table, one CDF row per table scale; means are the
+    quantization offsets."""
+
+    def __init__(self, likelihood_type: str = "gaussian",
+                 min_scale: float = SCALES_MIN, tail_mass: float = TAIL_MASS,
+                 precision: int = PRECISION_P, scale_table=None):
+        from hific_tpu.ops import maths as m
+
+        self.likelihood_type = likelihood_type
+        if likelihood_type == "gaussian":
+            std_cdf, std_q = m.standardized_cdf_gaussian, m.standardized_quantile_gaussian
+        elif likelihood_type == "logistic":
+            std_cdf, std_q = m.standardized_cdf_logistic, m.standardized_quantile_logistic
+        else:
+            raise ValueError(likelihood_type)
+        self._std_cdf = std_cdf
+        self.min_scale = float(min_scale)
+        self.precision = int(precision)
+        self.scale_table = (np.maximum(prior_scale_table(), min_scale)
+                            if scale_table is None
+                            else np.asarray(scale_table, np.float64))
+        self.tables = build_scale_tables(std_cdf, std_q, self.scale_table,
+                                         tail_mass, precision)
+
+    def _indices(self, scales: np.ndarray) -> np.ndarray:
+        return compute_scale_indices(scales, self.scale_table)
+
+    def compress(self, y: np.ndarray, means: np.ndarray, scales: np.ndarray,
+                 vectorize: bool = True) -> Tuple[np.ndarray, tuple]:
+        indices = self._indices(scales)
+        symbols = np.floor(y + 0.5 - means).astype(np.int32)
+        enc = coding.encode_indexed if vectorize else coding.encode_indexed_scalar
+        encoded, coding_shape = enc(symbols, indices, self.tables.cdf,
+                                    self.tables.cdf_length,
+                                    self.tables.cdf_offset, self.precision)
+        return encoded, coding_shape
+
+    def decompress(self, encoded: np.ndarray, means: np.ndarray,
+                   scales: np.ndarray, vectorize: bool = True) -> np.ndarray:
+        indices = self._indices(scales)
+        dec = coding.decode_indexed if vectorize else coding.decode_indexed_scalar
+        symbols = dec(encoded, indices, self.tables.cdf,
+                      self.tables.cdf_length, self.tables.cdf_offset,
+                      self.precision, inverse_table=self.tables.inverse)
+        return symbols.astype(np.float32) + means
+
+    def estimate_bits(self, y, means, scales, spatial_shape):
+        """Shannon bits of hard-quantized latents under the continuous
+        boxcar likelihood (reference prior_model.py:122-146)."""
+        from hific_tpu.models.density import latent_likelihood
+
+        q = np.floor(np.asarray(y) - means + 0.5) + means
+        lik = np.asarray(latent_likelihood(
+            jnp.asarray(q, jnp.float32), jnp.asarray(means, jnp.float32),
+            jnp.asarray(np.maximum(scales, self.min_scale), jnp.float32),
+            self.likelihood_type), np.float64)
+        bits = float(-np.sum(np.log(lik + 1e-9)) / np.log(2.0))
+        n_pixels = float(np.prod(spatial_shape))
+        return bits, bits / n_pixels, bits / q.shape[0]

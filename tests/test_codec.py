@@ -1,0 +1,181 @@
+"""Codec round-trip tests: tables, entropy models, container, full pipeline.
+
+Ports of the reference's implicit invariants (SURVEY.md §4): rANS round-trip
+symbol equality, attained bits ~ estimated Shannon bits, actual file bpp vs
+theoretical bpp, tail-estimation accuracy vs scipy quantiles.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hific_tpu.config import mse_lpips_config
+from hific_tpu.entropy.entropy_models import (
+    ConditionalEntropyModel,
+    FactorizedEntropyModel,
+)
+from hific_tpu.entropy.tables import estimate_tails
+
+TINY = dict(
+    latent_channels=8,
+    n_residual_blocks=1,
+    hyperlatent_filters=16,
+    crop_size=64,
+)
+
+
+def test_estimate_tails_gaussian():
+    import scipy.stats
+
+    for q in (0.42, 0.93):
+        cdf = lambda x: 0.5 * (1.0 + jax.lax.erf(x / np.sqrt(2.0)))
+        tails = estimate_tails(cdf, q, (10,))
+        np.testing.assert_allclose(
+            np.asarray(tails), scipy.stats.norm.ppf(q), atol=2e-2)
+
+
+def test_estimate_tails_logistic():
+    import scipy.stats
+
+    tails = estimate_tails(jax.nn.sigmoid, 0.79, (6,))
+    np.testing.assert_allclose(
+        np.asarray(tails), scipy.stats.logistic.ppf(0.79), atol=2e-2)
+
+
+def test_conditional_entropy_model_roundtrip():
+    """Mean-scale model: decoded_raw == rounded, bits ~ entropy (reference
+    prior_model.py:317-359 smoke test)."""
+    rng = np.random.RandomState(0)
+    m = ConditionalEntropyModel("gaussian")
+    shape = (1, 24, 16, 16)
+    loc, scale_mean = 2.401, 3.43
+    y = rng.randn(*shape).astype(np.float32)
+    means = rng.randn(*shape).astype(np.float32)
+    scales = np.clip(rng.randn(*shape) * np.sqrt(scale_mean) + loc,
+                     0.11, None).astype(np.float32)
+
+    bits, bpp, _ = m.estimate_bits(y, means, scales, shape[2:])
+    encoded, coding_shape = m.compress(y, means, scales)
+    decoded = m.decompress(encoded, means, scales)
+
+    rounded = np.floor(y + 0.5 - means) + means
+    np.testing.assert_allclose(decoded, rounded, atol=1e-5)
+
+    attained = 32 * len(encoded)
+    lane_overhead = 64 * np.prod(coding_shape)
+    assert attained <= bits * 1.1 + lane_overhead
+
+
+def test_conditional_entropy_model_scalar_path():
+    rng = np.random.RandomState(1)
+    m = ConditionalEntropyModel("gaussian")
+    shape = (1, 4, 6, 6)
+    y = rng.randn(*shape).astype(np.float32) * 3
+    means = rng.randn(*shape).astype(np.float32)
+    scales = np.clip(np.abs(rng.randn(*shape)) * 2, 0.11, None).astype(np.float32)
+    encoded, _ = m.compress(y, means, scales, vectorize=False)
+    decoded = m.decompress(encoded, means, scales, vectorize=False)
+    np.testing.assert_allclose(decoded, np.floor(y + 0.5 - means) + means,
+                               atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def factorized_model():
+    """A trained-at-init HyperlatentDensity wrapped in the entropy model."""
+    from hific_tpu.models.density import HyperlatentDensity
+
+    n_channels = 6
+    density = HyperlatentDensity(n_channels=n_channels)
+    params = density.init(jax.random.PRNGKey(0),
+                          jnp.zeros((n_channels, 1, 4)),
+                          method=HyperlatentDensity.likelihood_collapsed)
+
+    def cdf_logits_fn(t):
+        return density.apply(params, t, stop_gradient=True,
+                             method=HyperlatentDensity.cdf_logits)
+
+    def likelihood_fn(t):
+        return density.apply(params, t,
+                             method=HyperlatentDensity.likelihood_collapsed)
+
+    m = FactorizedEntropyModel(cdf_logits_fn, likelihood_fn, n_channels)
+    m.build_tables()
+    return m
+
+
+def test_factorized_entropy_model_roundtrip(factorized_model):
+    """Reference hyperprior_model.py:390-432 smoke test."""
+    m = factorized_model
+    rng = np.random.RandomState(2)
+    shape = (1, m.n_channels, 17, 23)
+    z = (rng.randn(*shape) * 4).astype(np.float32)
+
+    bits, bpp, _ = m.estimate_bits(z, shape[2:])
+    encoded, coding_shape = m.compress(z)
+    decoded = m.decompress(encoded, 1, shape[2:])
+    np.testing.assert_array_equal(decoded, np.floor(z + 0.5))
+
+    attained = 32 * len(encoded)
+    lane_overhead = 64 * np.prod(coding_shape)
+    assert attained <= bits * 1.2 + lane_overhead
+
+
+def test_factorized_batch2(factorized_model):
+    m = factorized_model
+    rng = np.random.RandomState(3)
+    shape = (2, m.n_channels, 8, 8)
+    z = (rng.randn(*shape) * 2).astype(np.float32)
+    encoded, _ = m.compress(z)
+    decoded = m.decompress(encoded, 2, shape[2:])
+    np.testing.assert_array_equal(decoded, np.floor(z + 0.5))
+
+
+@pytest.fixture(scope="module")
+def tiny_codec():
+    from hific_tpu.codec import Codec
+    from hific_tpu.models.hific import HiFiC
+
+    cfg = mse_lpips_config(**TINY)
+    model = HiFiC(cfg)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "quantize": rng},
+                           jnp.zeros((1, 64, 64, 3)), training=True)
+    codec = Codec(cfg, variables["params"])
+    codec.build_tables()
+    return codec
+
+
+def test_codec_end_to_end_roundtrip(tiny_codec, tmp_path):
+    """Full compress -> .hfc file -> decompress; reconstruction must be
+    identical whether latents come from the encoder or the file (the codec's
+    core guarantee), and actual file bpp ~ theoretical bpp."""
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 80, 96, 3).astype(np.float32)  # non-multiple of 64
+
+    out = tiny_codec.compress(x)
+    recon_direct = tiny_codec.decompress(out)
+    assert recon_direct.shape == (1, 80, 96, 3)
+    assert recon_direct.min() >= 0.0 and recon_direct.max() <= 1.0
+
+    path = os.path.join(tmp_path, "test.hfc")
+    actual_bpp, theoretical_bpp = tiny_codec.compress_file(x, path)
+    recon_file = tiny_codec.decompress_file(path)
+    np.testing.assert_array_equal(recon_direct, recon_file)
+
+    # actual includes the header + 64-bit/lane rANS overhead
+    n_pixels = 80 * 96
+    overhead_bpp = (64 * (8 + 16) + 500 * 8) / n_pixels
+    assert actual_bpp <= theoretical_bpp + overhead_bpp + 1.0
+    assert np.isfinite(theoretical_bpp) and theoretical_bpp > 0
+
+
+def test_codec_deterministic(tiny_codec):
+    x = np.random.RandomState(7).rand(1, 64, 64, 3).astype(np.float32)
+    out1 = tiny_codec.compress(x)
+    out2 = tiny_codec.compress(x)
+    np.testing.assert_array_equal(out1.latents_encoded, out2.latents_encoded)
+    np.testing.assert_array_equal(out1.hyperlatents_encoded,
+                                  out2.hyperlatents_encoded)
