@@ -168,13 +168,32 @@ def _encode_overflow_position(msg, overflow_i, widths_i, of_mask):
 
 
 def encode_indexed(symbols, indices, cdf, cdf_length, cdf_offset, precision,
-                   ) -> Tuple[np.ndarray, tuple]:
+                   use_native: bool = True) -> Tuple[np.ndarray, tuple]:
     """Vectorized encode of (N,C,H,W) int symbols. Returns (uint32 stream,
-    coding_shape)."""
+    coding_shape). Dispatches to the C++ kernel when built (identical
+    bitstream); set use_native=False or HIFIC_TPU_NATIVE=0 for pure numpy."""
     symbols = np.asarray(symbols)
     indices = np.asarray(indices)
     cdf = np.asarray(cdf, dtype=np.uint32)
     n, c = symbols.shape[:2]
+
+    if use_native:
+        from hific_tpu.entropy import native
+
+        if native.available():
+            if n == 1:
+                sym_l = _lane_layout(symbols.astype(np.int32))
+                idx_l = _lane_layout(indices.astype(np.int32))
+                coding_shape = (c, 1, 1)
+            else:
+                sym_l = symbols.reshape(n, -1).astype(np.int32)
+                idx_l = indices.reshape(n, -1).astype(np.int32)
+                coding_shape = symbols.shape[1:]
+            encoded = native.encode_lanes(sym_l, idx_l, cdf,
+                                          np.asarray(cdf_length, np.int32),
+                                          np.asarray(cdf_offset, np.int32),
+                                          precision)
+            return encoded, coding_shape
     values, overflow, max_value = _prepare(symbols, indices, cdf, cdf_length,
                                            cdf_offset)
 
@@ -210,7 +229,7 @@ def encode_indexed(symbols, indices, cdf, cdf_length, cdf_offset, precision,
 
 
 def decode_indexed(encoded, indices, cdf, cdf_length, cdf_offset, precision,
-                   inverse_table=None) -> np.ndarray:
+                   inverse_table=None, use_native: bool = True) -> np.ndarray:
     """Vectorized decode; `indices` must match the encoder's. Returns int32
     symbols shaped like `indices`."""
     indices = np.asarray(indices)
@@ -219,6 +238,23 @@ def decode_indexed(encoded, indices, cdf, cdf_length, cdf_offset, precision,
         inverse_table = build_inverse_table(cdf, cdf_length, precision)
 
     n, c = indices.shape[:2]
+
+    if use_native:
+        from hific_tpu.entropy import native
+
+        if native.available():
+            if n == 1:
+                idx_l = _lane_layout(indices.astype(np.int32))
+            else:
+                idx_l = indices.reshape(n, -1).astype(np.int32)
+            decoded = native.decode_lanes(
+                np.asarray(encoded, np.uint32), idx_l, cdf,
+                np.asarray(cdf_length, np.int32),
+                np.asarray(cdf_offset, np.int32),
+                np.asarray(inverse_table, np.int32), precision)
+            if n == 1:
+                return _lane_unlayout(decoded, indices.shape).astype(np.int32)
+            return decoded.reshape(indices.shape).astype(np.int32)
     if n == 1:
         indices_l = _lane_layout(indices.astype(np.int64))
         lane_shape = (indices_l.shape[1],)
