@@ -85,6 +85,7 @@ class Config:
 
     # Compute
     dtype: str = "float32"  # compute dtype for conv stacks ('bfloat16' on TPU)
+    use_pallas_norm: bool = False  # fused ChannelNorm+act Pallas kernel
 
     # Rate target resolved from regime unless explicitly set
     target_rate: Optional[float] = None

@@ -21,25 +21,25 @@ class Encoder(nn.Module):
     C: int = 220  # bottleneck depth
     activation: str = "relu"
     norm_type: str = "channel"
+    norm_backend: str = "xla"
     dtype: Optional[jnp.dtype] = None
 
     n_downsampling_layers: int = 4
 
     @nn.compact
     def __call__(self, x):
-        act = activation_fn(self.activation)
         f = ENCODER_FILTERS
 
         x = reflect_pad(x, 3)
         x = Conv(f[0], 7, stride=1, dtype=self.dtype, name="conv_stem")(x)
-        x = Norm(self.norm_type, name="norm_stem")(x)
-        x = act(x)
+        x = Norm(self.norm_type, self.activation, self.norm_backend,
+                 name="norm_stem")(x)
 
         for i in range(4):
             x = asymmetric_pad_2x(x)
             x = Conv(f[i + 1], 3, stride=2, dtype=self.dtype, name=f"conv_down{i}")(x)
-            x = Norm(self.norm_type, name=f"norm_down{i}")(x)
-            x = act(x)
+            x = Norm(self.norm_type, self.activation, self.norm_backend,
+                     name=f"norm_down{i}")(x)
 
         x = reflect_pad(x, 1)
         x = Conv(self.C, 3, stride=1, dtype=self.dtype, name="conv_out")(x)

@@ -22,19 +22,19 @@ GENERATOR_FILTERS = (960, 480, 240, 120, 60)
 class ResidualBlock(nn.Module):
     activation: str = "relu"
     norm_type: str = "channel"
+    norm_backend: str = "xla"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        act = activation_fn(self.activation)
         c = x.shape[-1]
         res = reflect_pad(x, 1)
         res = Conv(c, 3, stride=1, dtype=self.dtype, name="conv1")(res)
-        res = Norm(self.norm_type, name="norm1")(res)
-        res = act(res)
+        res = Norm(self.norm_type, self.activation, self.norm_backend,
+                   name="norm1")(res)
         res = reflect_pad(res, 1)
         res = Conv(c, 3, stride=1, dtype=self.dtype, name="conv2")(res)
-        res = Norm(self.norm_type, name="norm2")(res)
+        res = Norm(self.norm_type, backend=self.norm_backend, name="norm2")(res)
         return res + x
 
 
@@ -43,6 +43,7 @@ class Generator(nn.Module):
     n_residual_blocks: int = 9
     activation: str = "relu"
     norm_type: str = "channel"
+    norm_backend: str = "xla"
     sample_noise: bool = False
     noise_dim: int = 32
     dtype: Optional[jnp.dtype] = None
@@ -51,13 +52,13 @@ class Generator(nn.Module):
 
     @nn.compact
     def __call__(self, y, rng=None):
-        act = activation_fn(self.activation)
         f = GENERATOR_FILTERS
 
-        head = Norm(self.norm_type, name="norm_in")(y)
+        head = Norm(self.norm_type, backend=self.norm_backend, name="norm_in")(y)
         head = reflect_pad(head, 1)
         head = Conv(f[0], 3, stride=1, dtype=self.dtype, name="conv_head")(head)
-        head = Norm(self.norm_type, name="norm_head")(head)
+        head = Norm(self.norm_type, backend=self.norm_backend,
+                    name="norm_head")(head)
 
         if self.sample_noise:
             if rng is None:
@@ -69,7 +70,8 @@ class Generator(nn.Module):
         x = head
         for m in range(self.n_residual_blocks):
             x = ResidualBlock(
-                self.activation, self.norm_type, self.dtype, name=f"resblock_{m}"
+                self.activation, self.norm_type, self.norm_backend,
+                self.dtype, name=f"resblock_{m}"
             )(x)
         x = x + head  # global skip (reference generator.py:161)
 
@@ -78,8 +80,8 @@ class Generator(nn.Module):
                 f[i + 1], 3, stride=2, padding=1, output_padding=1,
                 dtype=self.dtype, name=f"upconv{i}",
             )(x)
-            x = Norm(self.norm_type, name=f"norm_up{i}")(x)
-            x = act(x)
+            x = Norm(self.norm_type, self.activation, self.norm_backend,
+                     name=f"norm_up{i}")(x)
 
         x = reflect_pad(x, 3)
         x = Conv(3, 7, stride=1, dtype=self.dtype, name="conv_out")(x)

@@ -44,11 +44,14 @@ class HiFiC(nn.Module):
         C = cfg.effective_latent_channels
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
 
-        self.encoder = Encoder(C=C, norm_type=cfg.norm_type, dtype=dtype)
+        norm_backend = "pallas" if cfg.use_pallas_norm else "xla"
+        self.encoder = Encoder(C=C, norm_type=cfg.norm_type,
+                               norm_backend=norm_backend, dtype=dtype)
         self.generator = Generator(
             C=C,
             n_residual_blocks=cfg.n_residual_blocks,
             norm_type=cfg.norm_type,
+            norm_backend=norm_backend,
             sample_noise=cfg.sample_noise,
             noise_dim=cfg.noise_dim,
             dtype=dtype,

@@ -100,13 +100,17 @@ class ConvTranspose(nn.Module):
 
 
 class Norm(nn.Module):
-    """Channel or instance norm with learned affine, selected by flag.
+    """Channel or instance norm with learned affine, selected by flag,
+    optionally fused with a trailing activation.
 
     Reference selects ChannelNorm2D_wrap vs InstanceNorm2D_wrap
-    (src/network/encoder.py:41-44).
+    (src/network/encoder.py:41-44). With backend='pallas' the channel norm
+    (+ activation) runs as one fused VMEM pass (ops/pallas_norm.py).
     """
 
     norm_type: str = "channel"  # 'channel' | 'instance' | 'none'
+    activation: str = "none"    # fused trailing activation: 'none' | 'relu'
+    backend: str = "xla"        # 'xla' | 'pallas'
 
     @nn.compact
     def __call__(self, x):
@@ -116,10 +120,22 @@ class Norm(nn.Module):
         gamma = self.param("gamma", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("beta", nn.initializers.zeros, (c,), jnp.float32)
         if self.norm_type == "channel":
-            return channel_norm(x, gamma.astype(x.dtype), beta.astype(x.dtype))
+            if self.backend == "pallas":
+                from hific_tpu.ops.pallas_norm import channel_norm_fused
+
+                return channel_norm_fused(x, gamma.astype(x.dtype),
+                                          beta.astype(x.dtype),
+                                          act=self.activation)
+            y = channel_norm(x, gamma.astype(x.dtype), beta.astype(x.dtype))
         elif self.norm_type == "instance":
-            return instance_norm(x, gamma.astype(x.dtype), beta.astype(x.dtype))
-        raise ValueError(f"unknown norm type {self.norm_type}")
+            y = instance_norm(x, gamma.astype(x.dtype), beta.astype(x.dtype))
+        else:
+            raise ValueError(f"unknown norm type {self.norm_type}")
+        if self.activation == "relu":
+            y = jax.nn.relu(y)
+        elif self.activation != "none":
+            y = activation_fn(self.activation)(y)
+        return y
 
 
 def activation_fn(name: str) -> Callable:
