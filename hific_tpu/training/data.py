@@ -126,6 +126,18 @@ class EvalDataset:
             yield x[None], _source_bpp(path, img.shape), path
 
 
+class CityScapesDataset(TrainDataset):
+    """CityScapes wrapper: fixed-aspect random crops from the leftImg8bit
+    split layout (reference datasets.py:272-293). Behaves like TrainDataset
+    over `<root>/leftImg8bit/<split>/*/*.png`."""
+
+    def __init__(self, root: str, split: str = "train", crop_size: int = 256,
+                 normalize: bool = False, seed: int = 0):
+        img_dir = os.path.join(root, "leftImg8bit", split)
+        super().__init__(img_dir if os.path.isdir(img_dir) else root,
+                         crop_size=crop_size, normalize=normalize, seed=seed)
+
+
 def prefetch(iterator, size: int = 4):
     """Run `iterator` in a daemon thread, keeping `size` batches ready."""
     q: "queue.Queue" = queue.Queue(maxsize=size)
