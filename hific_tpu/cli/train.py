@@ -38,6 +38,8 @@ def parse_args(argv=None):
     p.add_argument("-regime", "--regime", default="low",
                    choices=["low", "med", "high"])
     p.add_argument("-d", "--dataset_path", default="data/openimages")
+    p.add_argument("--eval_dataset_path", default=None,
+                   help="held-out crops evaluated every log_interval")
     p.add_argument("-name", "--name", default="hific_tpu_v0.1")
     p.add_argument("-bs", "--batch_size", type=int, default=8)
     p.add_argument("-steps", "--steps", type=int, default=int(1e6))
@@ -163,6 +165,16 @@ def main(argv=None):
                            seed=a.seed)
     batches = prefetch(dataset.batches(config.batch_size), size=4)
 
+    eval_batches = None
+    eval_fn = None
+    if a.eval_dataset_path:
+        eval_ds = TrainDataset(a.eval_dataset_path,
+                               crop_size=config.crop_size,
+                               normalize=config.normalize_input_image,
+                               seed=a.seed + 1)
+        eval_batches = eval_ds.batches(config.batch_size)
+        eval_fn = jax.jit(make_eval_step(config, lpips_apply))
+
     logger.info("Starting training for %d steps", config.n_steps)
     train_generator, d_steps_taken = True, 0
     t0, last_log_step = time.time(), 0
@@ -185,6 +197,13 @@ def main(argv=None):
                         "step %d | loss %.3f | q_bpp %.3f | %.1f img/s",
                         step, scalars["weighted_compression_loss"],
                         scalars["q_rate"], scalars["images_per_sec"])
+                    if eval_fn is not None:
+                        ex, _ = next(eval_batches)
+                        ediag, _ = eval_fn(state, jnp.asarray(ex),
+                                           jax.random.fold_in(state.rng, step))
+                        writer.write(step,
+                                     {k: float(v) for k, v in ediag.items()},
+                                     prefix="test/")
                     t0, last_log_step = time.time(), step
                 if step % config.save_interval == 0:
                     checkpoints.save_checkpoint(ckpt_dir, state, config)

@@ -145,3 +145,60 @@ class Codec:
 
     def decompress_file(self, path: str) -> np.ndarray:
         return self.decompress(load_compressed(path))
+
+    # ------------------------------------------------------------------ #
+
+    def compress_many(self, images) -> list:
+        """Pipelined batch compression: the TPU runs image i+1's transforms
+        while the host rANS-codes image i (the reference serializes these —
+        its coder is the acknowledged bottleneck, src/README.md:89).
+
+        JAX's async dispatch does the overlap: stage-1 device work for the
+        next image is enqueued before the host blocks on the previous
+        image's arrays.
+        """
+        if not self._tables_built:
+            self.build_tables()
+
+        # Stage 1 (device, async): encode + hyper-analyze every image.
+        staged = []
+        for x in images:
+            x = jnp.asarray(x, jnp.float32)
+            y, _ = self._encode(x)
+            z = self._hyper_analyze(y)
+            staged.append((x.shape[1:3], y, z))
+
+        outputs = []
+        for spatial_shape, y, z in staged:
+            spatial_shape = tuple(int(s) for s in spatial_shape)
+            y_np, z_np = _to_nchw(y), _to_nchw(z)  # sync point for image i
+            batch, hyper_spatial = z_np.shape[0], z_np.shape[2:]
+
+            hyper_bits, hyper_bpp, _ = self.factorized.estimate_bits(
+                z_np, spatial_shape)
+            z_encoded, hyper_coding_shape = self.factorized.compress(
+                z_np, vectorize=self.vectorize)
+            z_decoded = self.factorized.decompress(
+                z_encoded, batch, hyper_spatial, vectorize=self.vectorize)
+            means, scales = self._hyper_synthesize(_to_nhwc(z_decoded))
+            means_np, scales_np = _to_nchw(means), _to_nchw(scales)
+            latent_bits, latent_bpp, _ = self.conditional.estimate_bits(
+                y_np, means_np, scales_np, spatial_shape)
+            y_encoded, latent_coding_shape = self.conditional.compress(
+                y_np, means_np, scales_np, vectorize=self.vectorize)
+            outputs.append(CompressionOutput(
+                hyperlatents_encoded=z_encoded,
+                latents_encoded=y_encoded,
+                hyperlatent_spatial_shape=tuple(hyper_spatial),
+                spatial_shape=spatial_shape,
+                hyper_coding_shape=tuple(hyper_coding_shape),
+                latent_coding_shape=tuple(latent_coding_shape),
+                batch_shape=batch,
+                hyperlatent_bits=hyper_bits,
+                latent_bits=latent_bits,
+                total_bits=hyper_bits + latent_bits,
+                hyperlatent_bpp=hyper_bpp,
+                latent_bpp=latent_bpp,
+                total_bpp=hyper_bpp + latent_bpp,
+            ))
+        return outputs

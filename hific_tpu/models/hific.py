@@ -166,3 +166,50 @@ class HiFiC(nn.Module):
         if self.config.normalize_input_image:
             reconstruction = (reconstruction + 1.0) / 2.0
         return jnp.clip(reconstruction, 0.0, 1.0)
+
+
+if __name__ == "__main__":
+    # Smoke test, the analog of `python3 -m src.model` (reference
+    # model.py:389-463): full GAN model, one forward with losses on a
+    # random B=10 256x256 batch.
+    import time
+
+    import numpy as np
+
+    from hific_tpu.config import hific_config
+    from hific_tpu.training.losses import compression_loss, gan_loss
+    from hific_tpu.training.train_step import create_train_state
+
+    config = hific_config()
+    print(f"Model type: {config.model_type}, regime: {config.regime}")
+    rng = jax.random.PRNGKey(0)
+    t0 = time.time()
+    state = create_train_state(config, rng, input_shape=(1, 256, 256, 3))
+    n_codec = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    n_disc = sum(x.size for x in jax.tree_util.tree_leaves(state.disc_params))
+    print(f"Codec params: {n_codec/1e6:.1f}M | Disc params: {n_disc/1e6:.1f}M "
+          f"| estimated fp32 size {(n_codec+n_disc)*4/1e6:.0f} MB")
+    print(f"Init {time.time()-t0:.1f}s")
+
+    model = HiFiC(config)
+    x = jnp.asarray(np.random.RandomState(0).rand(10, 256, 256, 3), jnp.float32)
+    t0 = time.time()
+
+    @jax.jit
+    def forward(params, disc_params, spectral, x, rng):
+        inter, hyper = model.apply({"params": dict(params)}, x, training=True,
+                                   rngs={"quantize": rng})
+        comp_loss, diag = compression_loss(config, inter, None, 0)
+        disc_vars = {"params": {**dict(params), "discriminator": disc_params},
+                     "spectral": spectral}
+        disc_out, _ = model.apply(disc_vars, inter, train_generator=True,
+                                  method=HiFiC.discriminator_forward,
+                                  mutable=["spectral"])
+        d_loss, g_loss = gan_loss(config.gan_loss_type, disc_out)
+        return comp_loss + config.beta * g_loss, d_loss, diag["q_rate"]
+
+    comp, d_loss, qbpp = forward(state.params, state.disc_params,
+                                 state.spectral, x, jax.random.PRNGKey(1))
+    print(f"compression loss {float(comp):.3f} | disc loss {float(d_loss):.3f}"
+          f" | q_bpp {float(qbpp):.3f}")
+    print(f"Forward (B=10, 256x256) {time.time()-t0:.2f}s")
