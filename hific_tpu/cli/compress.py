@@ -38,6 +38,9 @@ def parse_args(argv=None):
     p.add_argument("--no_metrics", action="store_true")
     p.add_argument("--scalar_rans", action="store_true",
                    help="single-lane rANS (smaller files, slower)")
+    p.add_argument("--tile_latents", type=int, default=None,
+                   help="decode the generator on latent tiles of this size "
+                        "(bounded memory for very large images)")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
@@ -79,7 +82,10 @@ def main(argv=None):
         t_enc = time.time() - t0
 
         t0 = time.time()
-        recon = codec.decompress_file(hfc_path)
+        from hific_tpu.entropy.container import load_compressed
+
+        recon = codec.decompress(load_compressed(hfc_path),
+                                 tile_latents=a.tile_latents)
         t_dec = time.time() - t0
 
         row = {

@@ -122,8 +122,16 @@ class Codec:
             total_bpp=hyper_bpp + latent_bpp,
         )
 
-    def decompress(self, out: CompressionOutput) -> np.ndarray:
-        """Returns the reconstruction, (1,H,W,3) float in [0,1]."""
+    def decompress(self, out: CompressionOutput,
+                   tile_latents: Optional[int] = None,
+                   halo_latents: int = 16) -> np.ndarray:
+        """Returns the reconstruction, (1,H,W,3) float in [0,1].
+
+        tile_latents: run the generator on latent tiles of this size (with
+        `halo_latents` context) instead of the whole latent map — bounds HBM
+        for very large images (the reference OOMs beyond ~4000x4000,
+        src/README.md:113-114).
+        """
         if not self._tables_built:
             self.build_tables()
         z_decoded = self.factorized.decompress(
@@ -133,9 +141,17 @@ class Codec:
         means_np, scales_np = _to_nchw(means), _to_nchw(scales)
         y_decoded = self.conditional.decompress(
             out.latents_encoded, means_np, scales_np, vectorize=self.vectorize)
-        reconstruction = self._generate(_to_nhwc(y_decoded),
-                                        tuple(out.spatial_shape))
-        return np.asarray(reconstruction)
+        y_nhwc = _to_nhwc(y_decoded)
+        h, w = out.spatial_shape
+        if tile_latents is not None:
+            from hific_tpu.tiling import tiled_upsample_apply
+
+            ext = tile_latents + 2 * halo_latents
+            gen = lambda lat: self._generate(lat, (ext * 16, ext * 16))
+            recon = tiled_upsample_apply(gen, y_nhwc, scale=16,
+                                         tile=tile_latents, halo=halo_latents)
+            return np.clip(recon[:, :h, :w, :], 0.0, 1.0)
+        return np.asarray(self._generate(y_nhwc, (h, w)))
 
     # ------------------------------------------------------------------ #
 

@@ -37,6 +37,31 @@ def test_tiling_single_tile_identity():
                                2.0 * np.asarray(x))
 
 
+def test_codec_tiled_decode_matches_whole():
+    """Latent-space tiled generator decode vs whole decode: identical in the
+    interior (same quantized latents — tiling only changes generator context
+    at the margins)."""
+    from hific_tpu.codec import Codec
+    from hific_tpu.config import mse_lpips_config
+    from hific_tpu.models.hific import HiFiC
+
+    cfg = mse_lpips_config(latent_channels=8, n_residual_blocks=1,
+                           hyperlatent_filters=16)
+    model = HiFiC(cfg)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "quantize": rng},
+                           jnp.zeros((1, 64, 64, 3)), training=True)
+    codec = Codec(cfg, variables["params"])
+    x = np.random.RandomState(0).rand(1, 256, 256, 3).astype(np.float32)
+    out = codec.compress(x)
+    whole = codec.decompress(out)
+    tiled = codec.decompress(out, tile_latents=8, halo_latents=8)
+    assert tiled.shape == whole.shape
+    # halo 8 latent px = 128 image px of context; deep interior identical
+    np.testing.assert_allclose(tiled[:, 112:144, 112:144],
+                               whole[:, 112:144, 112:144], atol=1e-4)
+
+
 def test_tiled_model_reconstruction():
     """Tiled eval forward of the tiny model: correct shape, and close to the
     whole-image forward away from seams."""
