@@ -114,6 +114,15 @@ def main(argv=None):
     metrics_path = os.path.join(a.output, "metrics.json")
     with open(metrics_path, "w") as f:
         json.dump(rows, f, indent=2)
+    try:  # pandas table like the reference's HDF5 dataframe (compress.py:191-202)
+        import pandas as pd
+
+        df = pd.DataFrame(rows)
+        df.to_csv(os.path.join(a.output, "metrics.csv"), index=False)
+        logger.info("Mean: %.4f bpp | ratio %.1f",
+                    df["actual_bpp"].mean(), df["compression_ratio"].mean())
+    except ImportError:
+        pass
     logger.info("Wrote %s (%d images)", metrics_path, len(rows))
     return rows
 

@@ -64,6 +64,8 @@ def parse_args(argv=None):
     p.add_argument("--data_parallel", action="store_true")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of steps 10-15 here")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
@@ -184,6 +186,13 @@ def main(argv=None):
             if train_generator:
                 state, diag = step_g(state, x)
                 step = int(state.step)
+                if a.profile_dir and step == 10:
+                    jax.profiler.start_trace(a.profile_dir)
+                if a.profile_dir and step == 15:
+                    jax.tree_util.tree_map(
+                        lambda v: v.block_until_ready(), diag)
+                    jax.profiler.stop_trace()
+                    logger.info("Wrote profiler trace to %s", a.profile_dir)
                 if config.use_discriminator:
                     train_generator = False
                 if step % config.log_interval == 1:

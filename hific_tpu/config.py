@@ -86,6 +86,7 @@ class Config:
     # Compute
     dtype: str = "float32"  # compute dtype for conv stacks ('bfloat16' on TPU)
     use_pallas_norm: bool = False  # fused ChannelNorm+act Pallas kernel
+    use_remat: bool = False  # rematerialize resblocks (memory for FLOPs)
 
     # Rate target resolved from regime unless explicitly set
     target_rate: Optional[float] = None

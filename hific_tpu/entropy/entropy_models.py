@@ -25,7 +25,6 @@ from hific_tpu.entropy.tables import (
 from hific_tpu.models.density import PRECISION_P, TAIL_MASS
 
 import jax.numpy as jnp
-import numpy as onp
 
 
 class FactorizedEntropyModel:

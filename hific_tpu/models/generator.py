@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from hific_tpu.models.layers import Conv, ConvTranspose, Norm, activation_fn
+from hific_tpu.models.layers import Conv, ConvTranspose, Norm
 from hific_tpu.ops.padding import reflect_pad
 
 GENERATOR_FILTERS = (960, 480, 240, 120, 60)
@@ -46,6 +46,9 @@ class Generator(nn.Module):
     norm_backend: str = "xla"
     sample_noise: bool = False
     noise_dim: int = 32
+    use_remat: bool = False  # jax.checkpoint each resblock: trade FLOPs for
+    # HBM so large batches fit (the residual trunk holds 2 x 960ch
+    # activations per block otherwise)
     dtype: Optional[jnp.dtype] = None
 
     n_upsampling_layers: int = 4
@@ -68,8 +71,9 @@ class Generator(nn.Module):
             head = jnp.concatenate([head, z], axis=-1)
 
         x = head
+        block_cls = nn.remat(ResidualBlock) if self.use_remat else ResidualBlock
         for m in range(self.n_residual_blocks):
-            x = ResidualBlock(
+            x = block_cls(
                 self.activation, self.norm_type, self.norm_backend,
                 self.dtype, name=f"resblock_{m}"
             )(x)

@@ -54,6 +54,7 @@ class HiFiC(nn.Module):
             norm_backend=norm_backend,
             sample_noise=cfg.sample_noise,
             noise_dim=cfg.noise_dim,
+            use_remat=cfg.use_remat,
             dtype=dtype,
         )
         if cfg.use_latent_mixture_model:

@@ -15,8 +15,9 @@ visually nonexistent while bounding memory at tile+2*halo squared.
 """
 
 import math
-from typing import Callable, Tuple
+from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -64,9 +65,6 @@ def tiled_apply(fn: Callable, x, tile: int = 768, halo: int = 128):
             cw = min(tile, w - x0)
             out[:, y0 : y0 + ch, x0 : x0 + cw, :] = core[:, :ch, :cw, :]
     return out
-
-
-import jax  # noqa: E402  (used by tiled_apply at call time)
 
 
 def reconstruct_tiled(model_apply_fn, x, tile: int = 768, halo: int = 128):
