@@ -118,12 +118,14 @@ def convert_state_dict(sd: Dict, n_residual_blocks: int = 9,
         _set(p, f"hyperprior/analysis_net/conv{i}/Conv_0/bias",
              sd[f"{tp}.bias"])
     for net in ("synthesis_mu", "synthesis_std"):
-        for i in (1, 2):  # ConvTranspose layers
+        for i in (1, 2):  # ConvTranspose s2 layers
             tp = f"Hyperprior.{net}.conv{i}"
             _set(p, f"hyperprior/{net}/conv{i}/kernel", _convT(sd[f"{tp}.weight"]))
             _set(p, f"hyperprior/{net}/conv{i}/bias", sd[f"{tp}.bias"])
+        # conv3 is a STRIDE-1 ConvTranspose2d in the reference (hyper.py:85)
+        # == a plain conv with spatially flipped kernel and I/O swapped.
         tp = f"Hyperprior.{net}.conv3"
-        _set(p, f"hyperprior/{net}/conv3/Conv_0/kernel", _conv(sd[f"{tp}.weight"]))
+        _set(p, f"hyperprior/{net}/conv3/Conv_0/kernel", _convT(sd[f"{tp}.weight"]))
         _set(p, f"hyperprior/{net}/conv3/Conv_0/bias", sd[f"{tp}.bias"])
 
     # ----- Hyperlatent density (reference hyperprior_model.py:286-303) -----

@@ -132,7 +132,8 @@ def _synthetic_reference_state_dict(C=8, N=16, n_res=1, gan=True):
         for i in (1, 2):
             sd[f"Hyperprior.{net}.conv{i}.weight"] = t(N, N, 5, 5)  # (I,O,..)
             sd[f"Hyperprior.{net}.conv{i}.bias"] = t(N)
-        sd[f"Hyperprior.{net}.conv3.weight"] = t(C, N, 3, 3)
+        # conv3 is ConvTranspose2d(N, C, 3, s1): weight layout (I=N, O=C,..)
+        sd[f"Hyperprior.{net}.conv3.weight"] = t(N, C, 3, 3)
         sd[f"Hyperprior.{net}.conv3.bias"] = t(C)
     filters = (1, 3, 3, 3, 1)
     for k in range(4):
