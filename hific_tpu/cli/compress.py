@@ -41,6 +41,8 @@ def parse_args(argv=None):
     p.add_argument("--tile_latents", type=int, default=None,
                    help="decode the generator on latent tiles of this size "
                         "(bounded memory for very large images)")
+    p.add_argument("-rc", "--reconstruct", action="store_true",
+                   help="reconstruct without entropy coding (no .hfc)")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
@@ -75,18 +77,24 @@ def main(argv=None):
     rows = []
     for x, source_bpp, path in dataset:
         name = os.path.splitext(os.path.basename(path))[0]
-        t0 = time.time()
-        hfc_path = os.path.join(a.output, name + ".hfc")
-        actual_bpp, theoretical_bpp = codec.compress_file(
-            jnp.asarray(x), hfc_path)
-        t_enc = time.time() - t0
+        if a.reconstruct:  # no entropy coding
+            t0 = time.time()
+            recon = codec.reconstruct(jnp.asarray(x))
+            t_enc, t_dec = 0.0, time.time() - t0
+            actual_bpp = theoretical_bpp = float("nan")
+        else:
+            t0 = time.time()
+            hfc_path = os.path.join(a.output, name + ".hfc")
+            actual_bpp, theoretical_bpp = codec.compress_file(
+                jnp.asarray(x), hfc_path)
+            t_enc = time.time() - t0
 
-        t0 = time.time()
-        from hific_tpu.entropy.container import load_compressed
+            t0 = time.time()
+            from hific_tpu.entropy.container import load_compressed
 
-        recon = codec.decompress(load_compressed(hfc_path),
-                                 tile_latents=a.tile_latents)
-        t_dec = time.time() - t0
+            recon = codec.decompress(load_compressed(hfc_path),
+                                     tile_latents=a.tile_latents)
+            t_dec = time.time() - t0
 
         row = {
             "file": path,

@@ -153,6 +153,28 @@ class Codec:
             return np.clip(recon[:, :h, :w, :], 0.0, 1.0)
         return np.asarray(self._generate(y_nhwc, (h, w)))
 
+    def reconstruct(self, x) -> np.ndarray:
+        """Eval-mode reconstruction WITHOUT entropy coding (the reference's
+        `--reconstruct` mode, compress.py:225): pad -> encode -> hard
+        quantization -> generate. Device-only; no bitstream."""
+        x = jnp.asarray(x, jnp.float32)
+        spatial_shape = tuple(int(s) for s in x.shape[1:3])
+        if not hasattr(self, "_reconstruct_jit"):
+            model = self._model
+            v = {"params": self.params}
+
+            def _fn(x, spatial_shape):
+                y, _ = model.apply(v, x, method=HiFiC.encode)
+                z = model.apply(v, y, method=HiFiC.hyper_analyze)
+                z_q = jnp.floor(z + 0.5)
+                mu, _ = model.apply(v, z_q, method=HiFiC.hyper_synthesize)
+                y_q = jnp.floor(y - mu + 0.5) + mu
+                return model.apply(v, y_q, spatial_shape,
+                                   method=HiFiC.generate)
+
+            self._reconstruct_jit = jax.jit(_fn, static_argnums=(1,))
+        return np.asarray(self._reconstruct_jit(x, spatial_shape))
+
     # ------------------------------------------------------------------ #
 
     def compress_file(self, x, path: str) -> Tuple[float, float]:

@@ -172,6 +172,15 @@ def test_codec_end_to_end_roundtrip(tiny_codec, tmp_path):
     assert np.isfinite(theoretical_bpp) and theoretical_bpp > 0
 
 
+def test_reconstruct_equals_coded_roundtrip(tiny_codec):
+    """reconstruct() (no rANS) must equal decompress(compress()) EXACTLY:
+    the entropy coder is lossless on the quantized symbols."""
+    x = np.random.RandomState(3).rand(1, 64, 96, 3).astype(np.float32)
+    via_codec = tiny_codec.decompress(tiny_codec.compress(x))
+    direct = tiny_codec.reconstruct(x)
+    np.testing.assert_array_equal(via_codec, direct)
+
+
 def test_codec_deterministic(tiny_codec):
     x = np.random.RandomState(7).rand(1, 64, 64, 3).astype(np.float32)
     out1 = tiny_codec.compress(x)
