@@ -43,6 +43,10 @@ def parse_args(argv=None):
                         "(bounded memory for very large images)")
     p.add_argument("-rc", "--reconstruct", action="store_true",
                    help="reconstruct without entropy coding (no .hfc)")
+    p.add_argument("--shape_bucket", type=int, default=None,
+                   help="pad inputs to multiples of this size: slightly "
+                        "higher bpp, but bounds XLA recompiles on "
+                        "mixed-resolution datasets")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
@@ -85,8 +89,10 @@ def main(argv=None):
         else:
             t0 = time.time()
             hfc_path = os.path.join(a.output, name + ".hfc")
-            actual_bpp, theoretical_bpp = codec.compress_file(
-                jnp.asarray(x), hfc_path)
+            from hific_tpu.entropy.container import save_compressed
+
+            out = codec.compress(jnp.asarray(x), shape_bucket=a.shape_bucket)
+            actual_bpp, theoretical_bpp = save_compressed(out, hfc_path)
             t_enc = time.time() - t0
 
             t0 = time.time()

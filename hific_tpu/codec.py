@@ -75,12 +75,23 @@ class Codec:
 
     # ------------------------------------------------------------------ #
 
-    def compress(self, x) -> CompressionOutput:
-        """x: (1,H,W,3) float in [0,1] (NHWC, device or numpy)."""
+    def compress(self, x, shape_bucket: Optional[int] = None
+                 ) -> CompressionOutput:
+        """x: (1,H,W,3) float in [0,1] (NHWC, device or numpy).
+
+        shape_bucket: reflect-pad H,W up to multiples of this value before
+        encoding. Costs a few extra coded latents but caps the number of
+        distinct compiled shapes on mixed-size datasets (each new shape
+        otherwise pays a fresh XLA compile).
+        """
         if not self._tables_built:
             self.build_tables()
         x = jnp.asarray(x, jnp.float32)
         spatial_shape = tuple(int(s) for s in x.shape[1:3])
+        if shape_bucket:
+            from hific_tpu.ops.padding import pad_factor
+
+            x = pad_factor(x, shape_bucket)
 
         y, _ = self._encode(x)
         z = self._hyper_analyze(y)

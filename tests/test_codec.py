@@ -181,6 +181,34 @@ def test_reconstruct_equals_coded_roundtrip(tiny_codec):
     np.testing.assert_array_equal(via_codec, direct)
 
 
+def test_tiny_image_and_bucketing(tiny_codec):
+    """Images far below the crop size round-trip (pad to 16 then 4), and
+    shape bucketing pads before encoding but crops the reconstruction."""
+    x = np.random.RandomState(4).rand(1, 20, 30, 3).astype(np.float32)
+    out = tiny_codec.compress(x)
+    recon = tiny_codec.decompress(out)
+    assert recon.shape == (1, 20, 30, 3)
+
+    out_b = tiny_codec.compress(x, shape_bucket=128)
+    recon_b = tiny_codec.decompress(out_b)
+    assert recon_b.shape == (1, 20, 30, 3)
+    # bucketing pads the coded latent map to the bucket grid (128 -> 8x8
+    # latents vs 2x2-padded-to-4x4 without)
+    assert out_b.hyperlatent_spatial_shape != out.hyperlatent_spatial_shape
+    assert len(out_b.latents_encoded) > len(out.latents_encoded)
+
+
+def test_corrupt_container_rejected(tiny_codec, tmp_path):
+    x = np.random.RandomState(5).rand(1, 64, 64, 3).astype(np.float32)
+    path = os.path.join(tmp_path, "c.hfc")
+    tiny_codec.compress_file(x, path)
+    blob = bytearray(open(path, "rb").read())
+    blob[22] ^= 0xFF  # clobber the header magic (after 22 bytes of shapes)
+    open(path, "wb").write(bytes(blob))
+    with pytest.raises(AssertionError, match="corrupt"):
+        tiny_codec.decompress_file(path)
+
+
 def test_codec_deterministic(tiny_codec):
     x = np.random.RandomState(7).rand(1, 64, 64, 3).astype(np.float32)
     out1 = tiny_codec.compress(x)
