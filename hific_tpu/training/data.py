@@ -63,6 +63,9 @@ class TrainDataset:
 
     def _sample(self) -> Optional[Tuple[np.ndarray, float]]:
         path = self.files[self.rng.randint(len(self.files))]
+        return self._sample_path(path, self.rng)
+
+    def _sample_path(self, path: str, rng) -> Optional[Tuple[np.ndarray, float]]:
         img = _load_image(path)
         if img is None:
             return None
@@ -74,32 +77,64 @@ class TrainDataset:
         minimum_scale = crop / shortest
         scale_low = max(minimum_scale, 0.75)
         scale_high = max(scale_low, 0.95)
-        scale = self.rng.uniform(scale_low, scale_high)
+        scale = rng.uniform(scale_low, scale_high)
         nh, nw = max(crop, int(round(h * scale))), max(crop, int(round(w * scale)))
         if (nh, nw) != (h, w):
             from PIL import Image
 
             img = np.asarray(
                 Image.fromarray(img).resize((nw, nh), Image.BILINEAR))
-        top = self.rng.randint(img.shape[0] - crop + 1)
-        left = self.rng.randint(img.shape[1] - crop + 1)
+        top = rng.randint(img.shape[0] - crop + 1)
+        left = rng.randint(img.shape[1] - crop + 1)
         img = img[top : top + crop, left : left + crop]
-        if self.rng.rand() < 0.5:
+        if rng.rand() < 0.5:
             img = img[:, ::-1]
         x = img.astype(np.float32) / 255.0
         if self.normalize:
             x = x * 2.0 - 1.0
         return x, bpp
 
-    def batches(self, batch_size: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        while True:
+    def batches(self, batch_size: int, num_workers: int = 4
+                ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Infinite batch stream; decode/augment fans out over a thread pool
+        (PIL releases the GIL during decode/resize), the reference's
+        4-worker DataLoader equivalent (datasets.py:70-75)."""
+        if num_workers <= 1:
+            while True:
+                imgs, bpps = [], []
+                while len(imgs) < batch_size:
+                    s = self._sample()
+                    if s is not None:
+                        imgs.append(s[0])
+                        bpps.append(s[1])
+                yield np.stack(imgs), np.asarray(bpps, np.float32)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        lock = threading.Lock()
+
+        def sample_locked_rng():
+            # rng state is shared; guard the index draws, decode unlocked
+            with lock:
+                path = self.files[self.rng.randint(len(self.files))]
+                seed = int(self.rng.randint(2 ** 31))
+            return self._sample_path(path, np.random.RandomState(seed))
+
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            pending = [pool.submit(sample_locked_rng)
+                       for _ in range(batch_size + num_workers)]
             imgs, bpps = [], []
-            while len(imgs) < batch_size:
-                s = self._sample()
-                if s is not None:
-                    imgs.append(s[0])
-                    bpps.append(s[1])
-            yield np.stack(imgs), np.asarray(bpps, np.float32)
+            while True:
+                done = pending.pop(0)
+                pending.append(pool.submit(sample_locked_rng))
+                s = done.result()
+                if s is None:
+                    continue
+                imgs.append(s[0])
+                bpps.append(s[1])
+                if len(imgs) == batch_size:
+                    yield np.stack(imgs), np.asarray(bpps, np.float32)
+                    imgs, bpps = [], []
 
 
 class EvalDataset:
