@@ -37,6 +37,10 @@ def _to_nhwc(x) -> jnp.ndarray:
     return jnp.asarray(np.asarray(x).transpose(0, 2, 3, 1))
 
 
+def _to_nhwc_int(x) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(x).transpose(0, 2, 3, 1))
+
+
 class Codec:
     """Evaluation-mode compression/decompression engine."""
 
@@ -47,25 +51,59 @@ class Codec:
         model = HiFiC(config)
         self._model = model
 
-        v = {"params": params}
-        self._encode = jax.jit(
-            lambda x: model.apply(v, x, method=HiFiC.encode))
-        self._hyper_analyze = jax.jit(
-            lambda y: model.apply(v, y, method=HiFiC.hyper_analyze))
-        self._hyper_synthesize = jax.jit(
-            lambda z: model.apply(v, z, method=HiFiC.hyper_synthesize))
-        self._generate = jax.jit(
-            lambda lat, shape: model.apply(v, lat, shape,
-                                           method=HiFiC.generate),
-            static_argnums=(1,))
+        # Params are ARGUMENTS of the jitted functions, not closed-over
+        # constants: the flagship generator alone is ~650 MB fp32, and
+        # baking it into the HLO bloats (and on relayed transports, breaks)
+        # compilation.
+        self._encode_p = jax.jit(
+            lambda p, x: model.apply({"params": p}, x, method=HiFiC.encode))
+        self._hyper_analyze_p = jax.jit(
+            lambda p, y: model.apply({"params": p}, y,
+                                     method=HiFiC.hyper_analyze))
+        self._hyper_synthesize_p = jax.jit(
+            lambda p, z: model.apply({"params": p}, z,
+                                     method=HiFiC.hyper_synthesize))
+        self._generate_p = jax.jit(
+            lambda p, lat, shape: model.apply({"params": p}, lat, shape,
+                                              method=HiFiC.generate),
+            static_argnums=(2,))
+        self._encode = lambda x: self._encode_p(self.params, x)
+        self._hyper_analyze = lambda y: self._hyper_analyze_p(self.params, y)
+        self._hyper_synthesize = lambda z: self._hyper_synthesize_p(
+            self.params, z)
+        self._generate = lambda lat, shape: self._generate_p(self.params, lat,
+                                                             shape)
 
+        # Integer-symbol codec stages (device <-> host traffic is int16/uint8
+        # symbols only; fp32 latents/means/scales stay on device).
+        self._code_hyper_p = jax.jit(
+            lambda p, y: model.apply({"params": p}, y,
+                                     method=HiFiC.code_hyper))
+        self._synth_stats_p = jax.jit(
+            lambda p, z_sym, table: model.apply(
+                {"params": p}, z_sym, table, method=HiFiC.synth_stats))
+        self._latent_syms_p = jax.jit(
+            lambda p, y, mu, sigma, shape: model.apply(
+                {"params": p}, y, mu, sigma, shape,
+                method=HiFiC.latent_symbols),
+            static_argnums=(4,))
+        self._gen_syms_p = jax.jit(
+            lambda p, y_sym, mu, shape: model.apply(
+                {"params": p}, y_sym, mu, shape,
+                method=HiFiC.generate_from_symbols),
+            static_argnums=(3,))
+
+        # The density closures only touch the (tiny) hyperprior params.
+        hp_params = {"hyperprior": params["hyperprior"]}
         cdf_logits_fn = lambda t: model.apply(
-            v, t, method=HiFiC.hyperlatent_cdf_logits)
+            {"params": hp_params}, t, method=HiFiC.hyperlatent_cdf_logits)
         likelihood_fn = lambda t: model.apply(
-            v, t, method=HiFiC.hyperlatent_likelihood_at)
+            {"params": hp_params}, t, method=HiFiC.hyperlatent_likelihood_at)
         self.factorized = FactorizedEntropyModel(
             cdf_logits_fn, jax.jit(likelihood_fn), config.hyperlatent_filters)
         self.conditional = ConditionalEntropyModel(config.likelihood_type)
+        self._scale_table_dev = jnp.asarray(self.conditional.scale_table,
+                                            jnp.float32)
         self._tables_built = False
 
     def build_tables(self):
@@ -93,29 +131,33 @@ class Codec:
 
             x = pad_factor(x, shape_bucket)
 
+        # Device: transforms + quantization + rate estimates. Only int16
+        # symbols and uint8 indices cross to the host.
         y, _ = self._encode(x)
-        z = self._hyper_analyze(y)
+        z_sym, hyper_bits_dev = self._code_hyper_p(self.params, y)
+        # synth_stats consumes the DECODED symbols on the decoder side; the
+        # coder is lossless (tested), so the encoder can use them directly.
+        mu, sigma, idx = self._synth_stats_p(self.params, z_sym,
+                                             self._scale_table_dev)
+        y_sym, latent_bits_dev = self._latent_syms_p(self.params, y, mu,
+                                                     sigma, spatial_shape)
 
-        y_np = _to_nchw(y)
-        z_np = _to_nchw(z)
-        batch = z_np.shape[0]
-        hyper_spatial = z_np.shape[2:]
+        z_sym_np = _to_nchw(z_sym).astype(np.int32)
+        y_sym_np = _to_nchw(y_sym).astype(np.int32)
+        idx_np = _to_nchw(idx).astype(np.int32)
+        batch = z_sym_np.shape[0]
+        hyper_spatial = z_sym_np.shape[2:]
 
-        hyper_bits, hyper_bpp, _ = self.factorized.estimate_bits(
-            z_np, spatial_shape)
-        z_encoded, hyper_coding_shape = self.factorized.compress(
-            z_np, vectorize=self.vectorize)
-        # Decode our own hyperlatents: decoder must see identical integers.
-        z_decoded = self.factorized.decompress(
-            z_encoded, batch, hyper_spatial, vectorize=self.vectorize)
+        hyper_bits = float(hyper_bits_dev)
+        latent_bits = float(latent_bits_dev)
+        n_pixels = float(np.prod(spatial_shape))
+        hyper_bpp = hyper_bits / n_pixels
+        latent_bpp = latent_bits / n_pixels
 
-        means, scales = self._hyper_synthesize(_to_nhwc(z_decoded))
-        means_np, scales_np = _to_nchw(means), _to_nchw(scales)
-
-        latent_bits, latent_bpp, _ = self.conditional.estimate_bits(
-            y_np, means_np, scales_np, spatial_shape)
-        y_encoded, latent_coding_shape = self.conditional.compress(
-            y_np, means_np, scales_np, vectorize=self.vectorize)
+        z_encoded, hyper_coding_shape = self.factorized.compress_symbols(
+            z_sym_np, vectorize=self.vectorize)
+        y_encoded, latent_coding_shape = self.conditional.compress_symbols(
+            y_sym_np, idx_np, vectorize=self.vectorize)
 
         return CompressionOutput(
             hyperlatents_encoded=z_encoded,
@@ -145,24 +187,29 @@ class Codec:
         """
         if not self._tables_built:
             self.build_tables()
-        z_decoded = self.factorized.decompress(
+        z_sym_np = self.factorized.decompress_symbols(
             out.hyperlatents_encoded, out.batch_shape,
             out.hyperlatent_spatial_shape, vectorize=self.vectorize)
-        means, scales = self._hyper_synthesize(_to_nhwc(z_decoded))
-        means_np, scales_np = _to_nchw(means), _to_nchw(scales)
-        y_decoded = self.conditional.decompress(
-            out.latents_encoded, means_np, scales_np, vectorize=self.vectorize)
-        y_nhwc = _to_nhwc(y_decoded)
+        z_sym = jnp.asarray(_to_nhwc_int(z_sym_np), jnp.int16)
+        # Same jitted program as the encoder side -> identical indices.
+        mu, sigma, idx = self._synth_stats_p(self.params, z_sym,
+                                             self._scale_table_dev)
+        idx_np = _to_nchw(idx).astype(np.int32)
+        y_sym_np = self.conditional.decompress_symbols(
+            out.latents_encoded, idx_np, vectorize=self.vectorize)
+        y_sym = jnp.asarray(_to_nhwc_int(y_sym_np), jnp.int16)
+
         h, w = out.spatial_shape
         if tile_latents is not None:
             from hific_tpu.tiling import tiled_upsample_apply
 
+            y_hat = jnp.asarray(y_sym, jnp.float32) + mu
             ext = tile_latents + 2 * halo_latents
             gen = lambda lat: self._generate(lat, (ext * 16, ext * 16))
-            recon = tiled_upsample_apply(gen, y_nhwc, scale=16,
+            recon = tiled_upsample_apply(gen, y_hat, scale=16,
                                          tile=tile_latents, halo=halo_latents)
             return np.clip(recon[:, :h, :w, :], 0.0, 1.0)
-        return np.asarray(self._generate(y_nhwc, (h, w)))
+        return np.asarray(self._gen_syms_p(self.params, y_sym, mu, (h, w)))
 
     def reconstruct(self, x) -> np.ndarray:
         """Eval-mode reconstruction WITHOUT entropy coding (the reference's
@@ -172,9 +219,9 @@ class Codec:
         spatial_shape = tuple(int(s) for s in x.shape[1:3])
         if not hasattr(self, "_reconstruct_jit"):
             model = self._model
-            v = {"params": self.params}
 
-            def _fn(x, spatial_shape):
+            def _fn(p, x, spatial_shape):
+                v = {"params": p}
                 y, _ = model.apply(v, x, method=HiFiC.encode)
                 z = model.apply(v, y, method=HiFiC.hyper_analyze)
                 z_q = jnp.floor(z + 0.5)
@@ -183,8 +230,8 @@ class Codec:
                 return model.apply(v, y_q, spatial_shape,
                                    method=HiFiC.generate)
 
-            self._reconstruct_jit = jax.jit(_fn, static_argnums=(1,))
-        return np.asarray(self._reconstruct_jit(x, spatial_shape))
+            self._reconstruct_jit = jax.jit(_fn, static_argnums=(2,))
+        return np.asarray(self._reconstruct_jit(self.params, x, spatial_shape))
 
     # ------------------------------------------------------------------ #
 
@@ -209,32 +256,38 @@ class Codec:
         if not self._tables_built:
             self.build_tables()
 
-        # Stage 1 (device, async): encode + hyper-analyze every image.
+        # Stage 1 (device, async): the full device side of every image is
+        # enqueued before the host blocks on any symbols.
         staged = []
         for x in images:
             x = jnp.asarray(x, jnp.float32)
+            spatial_shape = tuple(int(s) for s in x.shape[1:3])
             y, _ = self._encode(x)
-            z = self._hyper_analyze(y)
-            staged.append((x.shape[1:3], y, z))
+            z_sym, hyper_bits_dev = self._code_hyper_p(self.params, y)
+            mu, sigma, idx = self._synth_stats_p(self.params, z_sym,
+                                                 self._scale_table_dev)
+            y_sym, latent_bits_dev = self._latent_syms_p(
+                self.params, y, mu, sigma, spatial_shape)
+            staged.append((spatial_shape, z_sym, y_sym, idx,
+                           hyper_bits_dev, latent_bits_dev))
 
         outputs = []
-        for spatial_shape, y, z in staged:
-            spatial_shape = tuple(int(s) for s in spatial_shape)
-            y_np, z_np = _to_nchw(y), _to_nchw(z)  # sync point for image i
-            batch, hyper_spatial = z_np.shape[0], z_np.shape[2:]
+        for (spatial_shape, z_sym, y_sym, idx, hyper_bits_dev,
+             latent_bits_dev) in staged:
+            z_sym_np = _to_nchw(z_sym).astype(np.int32)  # sync for image i
+            y_sym_np = _to_nchw(y_sym).astype(np.int32)
+            idx_np = _to_nchw(idx).astype(np.int32)
+            batch, hyper_spatial = z_sym_np.shape[0], z_sym_np.shape[2:]
+            hyper_bits = float(hyper_bits_dev)
+            latent_bits = float(latent_bits_dev)
+            n_pixels = float(np.prod(spatial_shape))
+            hyper_bpp, latent_bpp = (hyper_bits / n_pixels,
+                                     latent_bits / n_pixels)
 
-            hyper_bits, hyper_bpp, _ = self.factorized.estimate_bits(
-                z_np, spatial_shape)
-            z_encoded, hyper_coding_shape = self.factorized.compress(
-                z_np, vectorize=self.vectorize)
-            z_decoded = self.factorized.decompress(
-                z_encoded, batch, hyper_spatial, vectorize=self.vectorize)
-            means, scales = self._hyper_synthesize(_to_nhwc(z_decoded))
-            means_np, scales_np = _to_nchw(means), _to_nchw(scales)
-            latent_bits, latent_bpp, _ = self.conditional.estimate_bits(
-                y_np, means_np, scales_np, spatial_shape)
-            y_encoded, latent_coding_shape = self.conditional.compress(
-                y_np, means_np, scales_np, vectorize=self.vectorize)
+            z_encoded, hyper_coding_shape = self.factorized.compress_symbols(
+                z_sym_np, vectorize=self.vectorize)
+            y_encoded, latent_coding_shape = self.conditional.compress_symbols(
+                y_sym_np, idx_np, vectorize=self.vectorize)
             outputs.append(CompressionOutput(
                 hyperlatents_encoded=z_encoded,
                 latents_encoded=y_encoded,

@@ -65,9 +65,15 @@ class FactorizedEntropyModel:
     def compress(self, z: np.ndarray, vectorize: bool = True
                  ) -> Tuple[np.ndarray, tuple]:
         """z: float (N,C,H,W). Returns (uint32 stream, coding_shape)."""
+        return self.compress_symbols(np.floor(z + 0.5).astype(np.int32),
+                                     vectorize)
+
+    def compress_symbols(self, symbols: np.ndarray, vectorize: bool = True
+                         ) -> Tuple[np.ndarray, tuple]:
+        """Pre-quantized integer symbols (N,C,H,W) -> stream."""
         assert self.tables is not None, "call build_tables() first"
-        symbols = np.floor(z + 0.5).astype(np.int32)
-        indices = self._indices(z.shape[0], z.shape[2:])
+        symbols = np.asarray(symbols, np.int32)
+        indices = self._indices(symbols.shape[0], symbols.shape[2:])
         enc = coding.encode_indexed if vectorize else coding.encode_indexed_scalar
         encoded, coding_shape = enc(symbols, indices, self.tables.cdf,
                                     self.tables.cdf_length,
@@ -76,13 +82,18 @@ class FactorizedEntropyModel:
 
     def decompress(self, encoded: np.ndarray, batch: int, broadcast_shape,
                    vectorize: bool = True) -> np.ndarray:
+        return self.decompress_symbols(encoded, batch, broadcast_shape,
+                                       vectorize).astype(np.float32)
+
+    def decompress_symbols(self, encoded: np.ndarray, batch: int,
+                           broadcast_shape, vectorize: bool = True
+                           ) -> np.ndarray:
         assert self.tables is not None
         indices = self._indices(batch, broadcast_shape)
         dec = coding.decode_indexed if vectorize else coding.decode_indexed_scalar
-        symbols = dec(encoded, indices, self.tables.cdf,
-                      self.tables.cdf_length, self.tables.cdf_offset,
-                      self.precision, inverse_table=self.tables.inverse)
-        return symbols.astype(np.float32)
+        return dec(encoded, indices, self.tables.cdf,
+                   self.tables.cdf_length, self.tables.cdf_offset,
+                   self.precision, inverse_table=self.tables.inverse)
 
     def estimate_bits(self, z: np.ndarray, spatial_shape) -> Tuple[float, float, float]:
         """(total bits, bpp, bits-per-image) under the learned density, after
@@ -127,8 +138,15 @@ class ConditionalEntropyModel:
 
     def compress(self, y: np.ndarray, means: np.ndarray, scales: np.ndarray,
                  vectorize: bool = True) -> Tuple[np.ndarray, tuple]:
-        indices = self._indices(scales)
-        symbols = np.floor(y + 0.5 - means).astype(np.int32)
+        return self.compress_symbols(
+            np.floor(y + 0.5 - means).astype(np.int32),
+            self._indices(scales), vectorize)
+
+    def compress_symbols(self, symbols: np.ndarray, indices: np.ndarray,
+                         vectorize: bool = True) -> Tuple[np.ndarray, tuple]:
+        """Pre-quantized symbols + precomputed scale-table indices."""
+        symbols = np.asarray(symbols, np.int32)
+        indices = np.asarray(indices, np.int32)
         enc = coding.encode_indexed if vectorize else coding.encode_indexed_scalar
         encoded, coding_shape = enc(symbols, indices, self.tables.cdf,
                                     self.tables.cdf_length,
@@ -137,12 +155,17 @@ class ConditionalEntropyModel:
 
     def decompress(self, encoded: np.ndarray, means: np.ndarray,
                    scales: np.ndarray, vectorize: bool = True) -> np.ndarray:
-        indices = self._indices(scales)
-        dec = coding.decode_indexed if vectorize else coding.decode_indexed_scalar
-        symbols = dec(encoded, indices, self.tables.cdf,
-                      self.tables.cdf_length, self.tables.cdf_offset,
-                      self.precision, inverse_table=self.tables.inverse)
+        symbols = self.decompress_symbols(encoded, self._indices(scales),
+                                          vectorize)
         return symbols.astype(np.float32) + means
+
+    def decompress_symbols(self, encoded: np.ndarray, indices: np.ndarray,
+                           vectorize: bool = True) -> np.ndarray:
+        indices = np.asarray(indices, np.int32)
+        dec = coding.decode_indexed if vectorize else coding.decode_indexed_scalar
+        return dec(encoded, indices, self.tables.cdf,
+                   self.tables.cdf_length, self.tables.cdf_offset,
+                   self.precision, inverse_table=self.tables.inverse)
 
     def estimate_bits(self, y, means, scales, spatial_shape):
         """Shannon bits of hard-quantized latents under the continuous

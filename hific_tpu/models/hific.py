@@ -149,6 +149,46 @@ class HiFiC(nn.Module):
     def hyper_synthesize(self, z_decoded):
         return self.hyperprior.synthesize(z_decoded)
 
+    # Device-side codec stages that exchange only INTEGER symbols with the
+    # host rANS coder (fp32 latents/means/scales never cross the wire; on
+    # relayed transports that transfer dominates the whole codec).
+
+    def code_hyper(self, y):
+        """y -> (hyperlatent symbols int16, hyper Shannon bits)."""
+        z = self.hyperprior.analyze(y)
+        z_q = jnp.floor(z + 0.5)
+        lik = self.hyperprior.hyperlatent_density(z_q)
+        bits = -jnp.sum(jnp.log(lik + 1e-9)) / jnp.log(2.0)
+        return z_q.astype(jnp.int16), bits
+
+    def synth_stats(self, z_sym, scale_table):
+        """Decoded hyperlatent symbols -> (mu, sigma, scale-table indices).
+
+        ONE program shared by encoder and decoder sides, so the entropy
+        coder's CDF-row indices are bit-identical on both (the codec's core
+        determinism invariant; reference hyperprior.py:208-218 vs 256-265).
+        scale_table: (levels,) jnp array.
+        """
+        z_q = z_sym.astype(jnp.float32)
+        mu, sigma = self.hyperprior.synthesize(z_q)
+        idx = jnp.sum(
+            sigma[..., None] > scale_table[: -1], axis=-1).astype(jnp.uint8)
+        return mu, sigma, idx
+
+    def latent_symbols(self, y, mu, sigma, spatial_shape):
+        """(latent symbols int16, latent Shannon bits)."""
+        from hific_tpu.models.density import latent_likelihood
+
+        y_sym = jnp.floor(y + 0.5 - mu)
+        y_q = y_sym + mu
+        lik = latent_likelihood(y_q, mu, sigma, self.config.likelihood_type)
+        bits = -jnp.sum(jnp.log(lik + 1e-9)) / jnp.log(2.0)
+        return y_sym.astype(jnp.int16), bits
+
+    def generate_from_symbols(self, y_sym, mu, spatial_shape):
+        """Decoded latent symbols + on-device means -> reconstruction."""
+        return self.generate(y_sym.astype(jnp.float32) + mu, spatial_shape)
+
     def hyperlatent_likelihood_at(self, z):
         """Evaluate the learned hyperlatent density (for table building and
         bit estimates); z is (C, 1, M) collapsed format."""
