@@ -47,6 +47,9 @@ def parse_args(argv=None):
                    help="pad inputs to multiples of this size: slightly "
                         "higher bpp, but bounds XLA recompiles on "
                         "mixed-resolution datasets")
+    p.add_argument("--pipeline", type=int, default=0, metavar="N",
+                   help="compress in pipelined groups of N images (device "
+                        "compute overlaps host rANS)")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
@@ -78,7 +81,43 @@ def main(argv=None):
     files = [a.input] if os.path.isfile(a.input) else a.input
     dataset = EvalDataset(files)
 
+    from hific_tpu.entropy.container import load_compressed, save_compressed
+
+    def _finish(x, source_bpp, path, recon, t_enc, t_dec, actual_bpp,
+                theoretical_bpp):
+        name = os.path.splitext(os.path.basename(path))[0]
+        row = _make_row(a, x, source_bpp, path, recon, t_enc, t_dec,
+                        actual_bpp, theoretical_bpp)
+        if a.save:
+            save_png(os.path.join(a.output, name + "_recon.png"), recon[0])
+        rows.append(row)
+        logger.info("%s: %.4f bpp (ratio %.1f) enc %.2fs dec %.2fs %s",
+                    name, row["actual_bpp"], row["compression_ratio"],
+                    t_enc, t_dec,
+                    f"PSNR {row.get('psnr', float('nan')):.2f}")
+
     rows = []
+    if a.pipeline > 1 and not a.reconstruct:
+        # Pipelined groups: all device work for the group is enqueued before
+        # the host rANS-codes the first image.
+        group = []
+        items = list(dataset)
+        for i in range(0, len(items), a.pipeline):
+            group = items[i : i + a.pipeline]
+            t0 = time.time()
+            outs = codec.compress_many([jnp.asarray(x) for x, _, _ in group])
+            t_enc = (time.time() - t0) / max(len(group), 1)
+            for (x, source_bpp, path), out in zip(group, outs):
+                name = os.path.splitext(os.path.basename(path))[0]
+                hfc_path = os.path.join(a.output, name + ".hfc")
+                actual_bpp, theoretical_bpp = save_compressed(out, hfc_path)
+                t0 = time.time()
+                recon = codec.decompress(out, tile_latents=a.tile_latents)
+                _finish(x, source_bpp, path, recon, t_enc, time.time() - t0,
+                        actual_bpp, theoretical_bpp)
+        _write_metrics(a, rows, logger)
+        return rows
+
     for x, source_bpp, path in dataset:
         name = os.path.splitext(os.path.basename(path))[0]
         if a.reconstruct:  # no entropy coding
@@ -89,42 +128,43 @@ def main(argv=None):
         else:
             t0 = time.time()
             hfc_path = os.path.join(a.output, name + ".hfc")
-            from hific_tpu.entropy.container import save_compressed
-
             out = codec.compress(jnp.asarray(x), shape_bucket=a.shape_bucket)
             actual_bpp, theoretical_bpp = save_compressed(out, hfc_path)
             t_enc = time.time() - t0
 
             t0 = time.time()
-            from hific_tpu.entropy.container import load_compressed
-
             recon = codec.decompress(load_compressed(hfc_path),
                                      tile_latents=a.tile_latents)
             t_dec = time.time() - t0
 
-        row = {
-            "file": path,
-            "source_bpp": round(float(source_bpp), 4),
-            "actual_bpp": round(float(actual_bpp), 4),
-            "theoretical_bpp": round(float(theoretical_bpp), 4),
-            "compression_ratio": round(float(source_bpp / actual_bpp), 2),
-            "encode_s": round(t_enc, 3),
-            "decode_s": round(t_dec, 3),
-        }
-        if not a.no_metrics:
-            xj, rj = jnp.asarray(x), jnp.asarray(recon)
-            row["psnr"] = round(float(psnr(xj, rj)[0]), 3)
-            h, w = x.shape[1:3]
-            if min(h, w) >= 176:  # MS-SSIM needs 11 * 2^4
-                row["ms_ssim"] = round(float(ms_ssim(xj, rj)[0]), 5)
-        if a.save:
-            save_png(os.path.join(a.output, name + "_recon.png"), recon[0])
-        rows.append(row)
-        logger.info("%s: %.4f bpp (ratio %.1f) enc %.2fs dec %.2fs %s",
-                    name, row["actual_bpp"], row["compression_ratio"],
-                    t_enc, t_dec,
-                    f"PSNR {row.get('psnr', float('nan')):.2f}")
+        _finish(x, source_bpp, path, recon, t_enc, t_dec, actual_bpp,
+                theoretical_bpp)
 
+    _write_metrics(a, rows, logger)
+    return rows
+
+
+def _make_row(a, x, source_bpp, path, recon, t_enc, t_dec, actual_bpp,
+              theoretical_bpp):
+    row = {
+        "file": path,
+        "source_bpp": round(float(source_bpp), 4),
+        "actual_bpp": round(float(actual_bpp), 4),
+        "theoretical_bpp": round(float(theoretical_bpp), 4),
+        "compression_ratio": round(float(source_bpp / actual_bpp), 2),
+        "encode_s": round(t_enc, 3),
+        "decode_s": round(t_dec, 3),
+    }
+    if not a.no_metrics:
+        xj, rj = jnp.asarray(x), jnp.asarray(recon)
+        row["psnr"] = round(float(psnr(xj, rj)[0]), 3)
+        h, w = x.shape[1:3]
+        if min(h, w) >= 176:  # MS-SSIM needs 11 * 2^4
+            row["ms_ssim"] = round(float(ms_ssim(xj, rj)[0]), 5)
+    return row
+
+
+def _write_metrics(a, rows, logger):
     metrics_path = os.path.join(a.output, "metrics.json")
     with open(metrics_path, "w") as f:
         json.dump(rows, f, indent=2)
@@ -138,7 +178,6 @@ def main(argv=None):
     except ImportError:
         pass
     logger.info("Wrote %s (%d images)", metrics_path, len(rows))
-    return rows
 
 
 if __name__ == "__main__":
