@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from hific_tpu.codec import Codec
-from hific_tpu.config import Config
 from hific_tpu.training import checkpoints
 from hific_tpu.training.data import EvalDataset
 from hific_tpu.utils.logging import setup_logger

@@ -17,7 +17,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from hific_tpu.config import ModelTypes, hific_config, mse_lpips_config
 from hific_tpu.training import checkpoints

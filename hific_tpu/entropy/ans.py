@@ -10,7 +10,7 @@ The state is kept as a small mutable object rather than the reference's
 linked-cons tuples; semantics (and produced bits) are identical.
 """
 
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

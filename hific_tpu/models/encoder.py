@@ -11,7 +11,7 @@ from typing import Optional
 import jax.numpy as jnp
 import flax.linen as nn
 
-from hific_tpu.models.layers import Conv, Norm, activation_fn
+from hific_tpu.models.layers import Conv, Norm
 from hific_tpu.ops.padding import asymmetric_pad_2x, reflect_pad
 
 ENCODER_FILTERS = (60, 120, 240, 480, 960)

@@ -5,7 +5,7 @@ in hific_tpu/training/losses.py (kept functional so the jitted train step
 composes them freely). Behavioral spec from reference src/model.py:119-188.
 """
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

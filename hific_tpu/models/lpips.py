@@ -14,7 +14,7 @@ reconstruction but never into its parameters — keep `lpips_params` out of
 the optimizer pytree.
 """
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

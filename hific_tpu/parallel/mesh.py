@@ -8,7 +8,6 @@ for pure DP. Multi-slice scaling would add a second (DCN) mesh axis with the
 same sharding rules.
 """
 
-from functools import partial
 from typing import Optional, Sequence
 
 import jax

@@ -10,10 +10,9 @@ Semantics from reference src/helpers/utils.py:125-263:
 """
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from hific_tpu.config import Config

@@ -15,7 +15,7 @@ ready numpy batches so host decode overlaps device compute.
 import os
 import queue
 import threading
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 

@@ -8,7 +8,6 @@ Behavioral specs:
 - distortion: MSE in [0,255] space, reference src/model.py:190-194.
 """
 
-import jax
 import jax.numpy as jnp
 import optax
 

@@ -11,8 +11,7 @@ SPMD: shard the batch over the mesh 'data' axis and jit inserts the gradient
 all-reduce (see hific_tpu/parallel/mesh.py).
 """
 
-import functools
-from typing import Any, Optional
+from typing import Any
 
 import flax.struct
 import jax

@@ -5,11 +5,8 @@ PSNR (:7-18) and the separable-Gaussian-window SSIM/MS-SSIM (:20-322) with
 the standard power weights. All functions are jittable.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 MS_SSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 
