@@ -307,9 +307,22 @@ def decode_indexed(encoded, indices, cdf, cdf_length, cdf_offset, precision,
 
 
 def encode_indexed_scalar(symbols, indices, cdf, cdf_length, cdf_offset,
-                          precision) -> Tuple[np.ndarray, tuple]:
+                          precision, use_native: bool = True
+                          ) -> Tuple[np.ndarray, tuple]:
     symbols = np.asarray(symbols)
     coding_shape = symbols.shape[1:]
+
+    if use_native:
+        from hific_tpu.entropy import native
+
+        if native.available():
+            # Single-lane == scalar: identical push sequence and layout.
+            encoded = native.encode_lanes(
+                symbols.reshape(-1, 1).astype(np.int32),
+                np.asarray(indices).reshape(-1, 1).astype(np.int32),
+                np.asarray(cdf, np.uint32), np.asarray(cdf_length, np.int32),
+                np.asarray(cdf_offset, np.int32), precision)
+            return encoded, coding_shape
     values, overflow, max_value = _prepare(symbols, indices, cdf, cdf_length,
                                            cdf_offset)
     values_f = values.reshape(-1)
@@ -343,11 +356,24 @@ def encode_indexed_scalar(symbols, indices, cdf, cdf_length, cdf_offset,
 
 
 def decode_indexed_scalar(encoded, indices, cdf, cdf_length, cdf_offset,
-                          precision, inverse_table=None) -> np.ndarray:
+                          precision, inverse_table=None,
+                          use_native: bool = True) -> np.ndarray:
     indices_f = np.asarray(indices).reshape(-1).astype(np.int64)
     cdf = np.asarray(cdf, dtype=np.uint32)
     if inverse_table is None:
         inverse_table = build_inverse_table(cdf, cdf_length, precision)
+
+    if use_native:
+        from hific_tpu.entropy import native
+
+        if native.available():
+            decoded = native.decode_lanes(
+                np.asarray(encoded, np.uint32),
+                indices_f.reshape(-1, 1).astype(np.int32), cdf,
+                np.asarray(cdf_length, np.int32),
+                np.asarray(cdf_offset, np.int32),
+                np.asarray(inverse_table, np.int32), precision)
+            return decoded.reshape(np.asarray(indices).shape).astype(np.int32)
     msg = ans.unflatten_message_scalar(encoded)
     decoded = np.empty(len(indices_f), dtype=np.int64)
     one = np.uint64(1)
