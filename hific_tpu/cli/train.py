@@ -63,6 +63,10 @@ def parse_args(argv=None):
     p.add_argument("--data_parallel", action="store_true")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--use_remat", action="store_true",
+                   help="rematerialize generator resblocks (larger batches)")
+    p.add_argument("--use_pallas_norm", action="store_true",
+                   help="fused Pallas ChannelNorm kernel (see PERF.md)")
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace of steps 10-15 here")
     p.add_argument("--seed", type=int, default=42)
@@ -80,7 +84,8 @@ def build_config(a):
         hyperlatent_filters=a.hyperlatent_filters,
         use_latent_mixture_model=a.use_latent_mixture_model,
         log_interval=a.log_interval, save_interval=a.save_interval,
-        dtype=a.dtype,
+        dtype=a.dtype, use_remat=a.use_remat,
+        use_pallas_norm=a.use_pallas_norm,
     )
     if a.model_type == ModelTypes.COMPRESSION_GAN:
         return hific_config(**kw)
