@@ -212,11 +212,19 @@ def main(argv=None):
                         scalars["q_rate"], scalars["images_per_sec"])
                     if eval_fn is not None:
                         ex, _ = next(eval_batches)
-                        ediag, _ = eval_fn(state, jnp.asarray(ex),
-                                           jax.random.fold_in(state.rng, step))
+                        ediag, einter = eval_fn(
+                            state, jnp.asarray(ex),
+                            jax.random.fold_in(state.rng, step))
                         writer.write(step,
                                      {k: float(v) for k, v in ediag.items()},
                                      prefix="test/")
+                        recon = einter.reconstruction
+                        if config.normalize_input_image:
+                            recon = (recon + 1.0) / 2.0
+                        writer.write_images(step, {
+                            "test/input": einter.input_image,
+                            "test/reconstruction": recon,
+                        })
                     t0, last_log_step = time.time(), step
                 if step % config.save_interval == 0:
                     checkpoints.save_checkpoint(ckpt_dir, state, config)

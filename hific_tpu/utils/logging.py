@@ -66,5 +66,21 @@ class MetricWriter:
                     tf.summary.scalar(f"{prefix}{k}", float(v), step=int(step))
                 self._tb.flush()
 
+    def write_images(self, step: int, images: Dict[str, "object"],
+                     max_images: int = 4):
+        """Log NHWC [0,1] image batches to TensorBoard (the reference's
+        reconstruction grids, utils.py:376-380). No-op without TF."""
+        if self._tb is None:
+            return
+        import numpy as np
+        import tensorflow as tf
+
+        with self._tb.as_default():
+            for name, batch in images.items():
+                arr = np.clip(np.asarray(batch)[:max_images], 0.0, 1.0)
+                tf.summary.image(name, arr, step=int(step),
+                                 max_outputs=max_images)
+            self._tb.flush()
+
     def close(self):
         self._jsonl.close()
