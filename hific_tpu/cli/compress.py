@@ -49,14 +49,51 @@ def parse_args(argv=None):
     p.add_argument("--pipeline", type=int, default=0, metavar="N",
                    help="compress in pipelined groups of N images (device "
                         "compute overlaps host rANS)")
+    p.add_argument("--no_lpips", action="store_true",
+                   help="skip the per-image LPIPS column")
+    p.add_argument("--lpips_weights", default=None,
+                   help="full LPIPS param npz; defaults to lpips.npz next "
+                        "to the checkpoint when present (written by the "
+                        "convert CLI)")
+    p.add_argument("--lpips_backbone_path", default=None,
+                   help="torchvision backbone state_dict (.pth)")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
 
-def save_png(path, img01):
+def make_lpips_metric(a, logger):
+    """Jitted per-image LPIPS for the metrics table (reference compress.py
+    computes it unconditionally per image, compress.py:105,167,188).
+
+    Returns (fn, calibrated) — fn is None when --no_lpips/--no_metrics."""
+    if a.no_lpips or a.no_metrics:
+        return None, False
+    from hific_tpu.models.lpips import build_lpips_fn
+
+    params_npz = a.lpips_weights
+    if params_npz is None:
+        cand = os.path.join(a.checkpoint_dir, "lpips.npz")
+        if os.path.isfile(cand):
+            params_npz = cand
+    fn, calibrated = build_lpips_fn(net="alex",
+                                    backbone_path=a.lpips_backbone_path,
+                                    params_npz=params_npz)
+    if not calibrated:
+        logger.warning(
+            "LPIPS backbone uncalibrated (seeded random init): 'lpips' "
+            "column is architecture-exact but not comparable to published "
+            "numbers. Pass --lpips_weights / --lpips_backbone_path.")
+    jfn = jax.jit(lambda x0, x1: fn(x0, x1, normalize=True))
+    return jfn, calibrated
+
+
+def save_png(path, img):
+    """img: (H,W,3) uint8, or float in [0,1] (quantized identically)."""
     from PIL import Image
 
-    arr = np.clip(np.asarray(img01) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:
+        arr = np.clip(arr * 255.0 + 0.5, 0, 255).astype(np.uint8)
     Image.fromarray(arr).save(path)
 
 
@@ -82,11 +119,14 @@ def main(argv=None):
 
     from hific_tpu.entropy.container import load_compressed, save_compressed
 
+    lpips_fn, lpips_calibrated = make_lpips_metric(a, logger)
+
     def _finish(x, source_bpp, path, recon, t_enc, t_dec, actual_bpp,
                 theoretical_bpp):
         name = os.path.splitext(os.path.basename(path))[0]
         row = _make_row(a, x, source_bpp, path, recon, t_enc, t_dec,
-                        actual_bpp, theoretical_bpp)
+                        actual_bpp, theoretical_bpp,
+                        lpips_fn=lpips_fn, lpips_calibrated=lpips_calibrated)
         if a.save:
             save_png(os.path.join(a.output, name + "_recon.png"), recon[0])
         rows.append(row)
@@ -104,14 +144,16 @@ def main(argv=None):
         for i in range(0, len(items), a.pipeline):
             group = items[i : i + a.pipeline]
             t0 = time.time()
-            outs = codec.compress_many([jnp.asarray(x) for x, _, _ in group])
+            outs = codec.compress_many([jnp.asarray(x) for x, _, _ in group],
+                                       shape_bucket=a.shape_bucket)
             t_enc = (time.time() - t0) / max(len(group), 1)
             for (x, source_bpp, path), out in zip(group, outs):
                 name = os.path.splitext(os.path.basename(path))[0]
                 hfc_path = os.path.join(a.output, name + ".hfc")
                 actual_bpp, theoretical_bpp = save_compressed(out, hfc_path)
                 t0 = time.time()
-                recon = codec.decompress(out, tile_latents=a.tile_latents)
+                recon = codec.decompress(out, tile_latents=a.tile_latents,
+                                         as_uint8=True)
                 _finish(x, source_bpp, path, recon, t_enc, time.time() - t0,
                         actual_bpp, theoretical_bpp)
         _write_metrics(a, rows, logger)
@@ -133,7 +175,8 @@ def main(argv=None):
 
             t0 = time.time()
             recon = codec.decompress(load_compressed(hfc_path),
-                                     tile_latents=a.tile_latents)
+                                     tile_latents=a.tile_latents,
+                                     as_uint8=True)
             t_dec = time.time() - t0
 
         _finish(x, source_bpp, path, recon, t_enc, t_dec, actual_bpp,
@@ -144,7 +187,7 @@ def main(argv=None):
 
 
 def _make_row(a, x, source_bpp, path, recon, t_enc, t_dec, actual_bpp,
-              theoretical_bpp):
+              theoretical_bpp, lpips_fn=None, lpips_calibrated=False):
     row = {
         "file": path,
         "source_bpp": round(float(source_bpp), 4),
@@ -155,11 +198,17 @@ def _make_row(a, x, source_bpp, path, recon, t_enc, t_dec, actual_bpp,
         "decode_s": round(t_dec, 3),
     }
     if not a.no_metrics:
+        recon = np.asarray(recon)
+        if recon.dtype == np.uint8:  # uint8 wire format (codec.decompress)
+            recon = recon.astype(np.float32) / 255.0
         xj, rj = jnp.asarray(x), jnp.asarray(recon)
         row["psnr"] = round(float(psnr(xj, rj)[0]), 3)
         h, w = x.shape[1:3]
         if min(h, w) >= 176:  # MS-SSIM needs 11 * 2^4
             row["ms_ssim"] = round(float(ms_ssim(xj, rj)[0]), 5)
+        if lpips_fn is not None:
+            row["lpips"] = round(float(lpips_fn(xj, rj).reshape(-1)[0]), 5)
+            row["lpips_calibrated"] = bool(lpips_calibrated)
     return row
 
 

@@ -8,6 +8,7 @@ The output directory is directly usable by the compress CLI
 """
 
 import argparse
+import os
 
 import jax
 
@@ -42,7 +43,7 @@ def main(argv=None):
                   hyperlatent_filters=a.hyperlatent_filters)
 
     logger.info("Converting %s", a.torch_checkpoint)
-    params, disc_params, spectral = load_reference_checkpoint(
+    params, disc_params, spectral, lpips_params = load_reference_checkpoint(
         a.torch_checkpoint, n_residual_blocks=a.n_residual_blocks)
 
     logger.info("Building target state (fresh optimizers)...")
@@ -57,6 +58,13 @@ def main(argv=None):
                 jax.numpy.asarray, {"discriminator": spectral}))
 
     path = checkpoints.save_checkpoint(a.output_dir, state, config, step=0)
+    if lpips_params is not None:
+        from hific_tpu.models.lpips import save_lpips_npz
+
+        lpips_path = os.path.join(a.output_dir, "lpips.npz")
+        save_lpips_npz(lpips_path, lpips_params)
+        logger.info("Extracted calibrated LPIPS weights -> %s "
+                    "(auto-discovered by the compress CLI)", lpips_path)
     logger.info("Wrote %s — use with: python -m hific_tpu.cli.compress "
                 "-ckpt %s ...", path, a.output_dir)
     return path

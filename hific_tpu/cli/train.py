@@ -51,10 +51,20 @@ def parse_args(argv=None):
     p.add_argument("--latent_channels", type=int, default=220)
     p.add_argument("--hyperlatent_filters", type=int, default=320)
     p.add_argument("--use_latent_mixture_model", action="store_true")
+    p.add_argument("--no_lpips", action="store_true",
+                   help="train WITHOUT the perceptual term (k_P * LPIPS). "
+                        "By default LPIPS is on, as in the reference "
+                        "(model.py:105, k_P=1).")
+    p.add_argument("--lpips_weights", default=None,
+                   help="full LPIPS param npz (e.g. lpips.npz written by "
+                        "the convert CLI from a reference checkpoint)")
     p.add_argument("--lpips_lin_path", default=None,
-                   help="torch lin-head weights for LPIPS (alex.pth)")
+                   help="torch lin-head weights (alex.pth); defaults to the "
+                        "packaged calibrated v0.1 asset")
     p.add_argument("--lpips_backbone_path", default=None,
-                   help="torchvision backbone state_dict (.pth)")
+                   help="torchvision backbone state_dict (.pth); without "
+                        "it (or --lpips_weights) the backbone is a seeded "
+                        "random init — NOT perceptually calibrated")
     p.add_argument("--log_interval", type=int, default=1000)
     p.add_argument("--save_interval", type=int, default=50000)
     p.add_argument("--warmstart_ckpt", default=None)
@@ -92,26 +102,25 @@ def build_config(a):
     return mse_lpips_config(**kw)
 
 
-def make_lpips_apply(config, lin_path, backbone_path):
-    """Build the LPIPS callable if weights are available, else None."""
-    if lin_path is None:
+def make_lpips_apply(a, logger=None):
+    """LPIPS callable for the k_P perceptual term (None iff --no_lpips)."""
+    if a.no_lpips:
         return None
-    from hific_tpu.models.lpips import LPIPS, load_torch_lpips_weights
+    from hific_tpu.models.lpips import build_lpips_fn
 
-    lpips = LPIPS(net="alex")
-    dummy = jnp.zeros((1, 64, 64, 3))
-    lp_params = lpips.init(jax.random.PRNGKey(0), dummy, dummy)["params"]
-    backbone_state = None
-    if backbone_path is not None:
-        import torch
-
-        backbone_state = torch.load(backbone_path, map_location="cpu",
-                                    weights_only=True)
-    lp_params = load_torch_lpips_weights(lp_params, lin_path, backbone_state)
+    fn, calibrated = build_lpips_fn(net="alex",
+                                    lin_path=a.lpips_lin_path,
+                                    backbone_path=a.lpips_backbone_path,
+                                    params_npz=a.lpips_weights)
+    if not calibrated and logger is not None:
+        logger.warning(
+            "LPIPS backbone is a seeded RANDOM init (lin heads calibrated, "
+            "backbone not): the perceptual term trains on random-feature "
+            "LPIPS. Pass --lpips_backbone_path / --lpips_weights for true "
+            "LPIPS, or --no_lpips to drop the term.")
 
     def lpips_apply(x_gen, x_real):
-        return lpips.apply({"params": lp_params}, x_gen, x_real,
-                           normalize=True)
+        return fn(x_gen, x_real, normalize=True)
 
     return lpips_apply
 
@@ -142,11 +151,11 @@ def main(argv=None):
     logger.info("Codec parameters: %.1fM (%.1f MB fp32)", n_params / 1e6,
                 n_params * 4 / 1e6)
 
-    lpips_apply = make_lpips_apply(config, a.lpips_lin_path,
-                                   a.lpips_backbone_path)
+    lpips_apply = make_lpips_apply(a, logger)
     if lpips_apply is None:
-        logger.warning("LPIPS weights not provided (--lpips_lin_path); "
-                       "perceptual term disabled.")
+        logger.warning("--no_lpips: perceptual term disabled; this trains "
+                       "MSE+rate only and will NOT reproduce HiFiC "
+                       "reconstructions.")
 
     step_g = make_train_step_g(config, lpips_apply)
     step_d = make_train_step_d(config) if config.use_discriminator else None

@@ -158,10 +158,19 @@ def convert_state_dict(sd: Dict, n_residual_blocks: int = 9,
 
 
 def load_reference_checkpoint(path: str, **kw):
-    """Load a reference .pt checkpoint file and convert."""
+    """Load a reference .pt checkpoint file and convert.
+
+    Returns (params, disc_params, spectral, lpips_params). The reference
+    Model registers PerceptualLoss as a submodule (src/model.py), so full
+    checkpoints embed the calibrated AlexNet backbone + lin heads;
+    lpips_params carries them (None when the keys are absent).
+    """
     import torch
+
+    from hific_tpu.models.lpips import lpips_params_from_reference_state
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model_state_dict", ckpt)
+    lpips_params = lpips_params_from_reference_state(sd)
     sd = {k: v for k, v in sd.items() if not k.startswith("perceptual_loss")}
-    return convert_state_dict(sd, **kw)
+    return convert_state_dict(sd, **kw) + (lpips_params,)

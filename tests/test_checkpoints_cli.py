@@ -7,6 +7,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from hific_tpu.config import hific_config, mse_lpips_config
 from hific_tpu.training import checkpoints
 from hific_tpu.training.train_step import create_train_state, make_train_step_g
@@ -117,6 +119,8 @@ def test_train_and_compress_cli(tmp_path, image_dir):
     for row in rows:
         assert row["actual_bpp"] > 0
         assert "psnr" in row
+        # LPIPS is reported per image by default (reference compress.py:167)
+        assert row["lpips"] >= 0.0
         name = os.path.splitext(os.path.basename(row["file"]))[0]
         assert os.path.exists(os.path.join(out_dir, name + ".hfc"))
         assert os.path.exists(os.path.join(out_dir, name + "_recon.png"))

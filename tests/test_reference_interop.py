@@ -8,7 +8,6 @@ isn't mounted.
 
 import os
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -22,26 +21,12 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def ref_modules():
-    """Import the reference coder with a stub for its unused-in-our-tests
-    `autograd` dependency (only needed by its masked-overflow writeback)."""
-    if "autograd" not in sys.modules:
-        autograd = types.ModuleType("autograd")
-        autograd.numpy = np
-        autograd.make_vjp = None
-        extend = types.ModuleType("autograd.extend")
-        extend.vspace = None
-        extend.VSpace = object
-        autograd.extend = extend
-        sys.modules["autograd"] = autograd
-        sys.modules["autograd.extend"] = extend
-        sys.modules["autograd.numpy"] = np
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv_utils = types.ModuleType("torchvision.utils")
-        tv_utils.save_image = None
-        tv.utils = tv_utils
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.utils"] = tv_utils
+    """Import the reference coder with functional autograd/torchvision
+    stand-ins (tests/ref_stubs.py) so even its masked-overflow writeback
+    path runs as an oracle."""
+    from ref_stubs import install_reference_stubs
+
+    install_reference_stubs()
     sys.path.insert(0, REFERENCE)
     try:
         from src.compression import ans as ref_ans
@@ -165,3 +150,63 @@ def test_vectorized_coder_byte_equality_no_overflow(ref_modules):
         our_stream, indices, cdf.astype(np.uint64), lengths, offsets, 16,
         coding_shape=tuple(our_cs))
     np.testing.assert_array_equal(np.asarray(ref_decoded, np.int32), symbols)
+
+
+def test_vectorized_coder_byte_equality_single_nibble_overflow(ref_modules):
+    """Vectorized lane path WITH overflow escapes, single-nibble payloads —
+    the practical case on real images (hyperlatent escapes are tiny).
+
+    The reference's multi-nibble path is buggy (its nibble-round counter
+    resets every iteration, entropy_coding.py:399-410) and deliberately not
+    replicated; for single-nibble payloads (|escape| <= 15 after the
+    even/odd folding) both coders must produce byte-identical streams and
+    cross-decode.
+    """
+    _, ref_coding = ref_modules
+    from hific_tpu.entropy.coding import decode_indexed, encode_indexed
+
+    symbols, indices, cdf, lengths, offsets = _tables_and_symbols(False)
+    max_vals = (lengths[indices] - 2).astype(np.int32)
+
+    # Escapes on scattered positions, all single-nibble:
+    #   value == max_value (overflow code 0)
+    #   value == max_value + k, k in [1..7]  (overflow 2k   <= 14)
+    #   value == offset - k,    k in [1..8]  (overflow 2k-1 <= 15)
+    rng = np.random.RandomState(11)
+    flat_sym = symbols.reshape(-1)
+    flat_max = (max_vals + offsets[indices]).reshape(-1)
+    flat_min = offsets[indices].reshape(-1)
+    n = flat_sym.size
+    pos = rng.choice(n, size=max(4, n // 6), replace=False)
+    third = len(pos) // 3
+    flat_sym[pos[:third]] = flat_max[pos[:third]]                      # ==max
+    hi = pos[third:2 * third]
+    flat_sym[hi] = flat_max[hi] + rng.randint(1, 8, size=len(hi))       # +k
+    lo = pos[2 * third:]
+    flat_sym[lo] = flat_min[lo] - rng.randint(1, 9, size=len(lo))       # -k
+    symbols = flat_sym.reshape(symbols.shape)
+
+    ref_stream, ref_cs = ref_coding.vec_ans_index_encoder(
+        symbols.copy(), indices, cdf.astype(np.uint64), lengths, offsets, 16,
+        coding_shape=symbols.shape[1:])
+    our_stream, our_cs = encode_indexed(symbols, indices, cdf, lengths,
+                                        offsets, 16)
+    np.testing.assert_array_equal(np.asarray(ref_stream, np.uint32),
+                                  our_stream)
+
+    # our decoder on the reference's bytes
+    decoded = decode_indexed(np.asarray(ref_stream, np.uint32), indices, cdf,
+                             lengths, offsets, 16)
+    np.testing.assert_array_equal(decoded, symbols)
+
+    # reference decoder on our bytes
+    ref_decoded = ref_coding.vec_ans_index_decoder(
+        our_stream, indices, cdf.astype(np.uint64), lengths, offsets, 16,
+        coding_shape=tuple(our_cs))
+    np.testing.assert_array_equal(np.asarray(ref_decoded, np.int32), symbols)
+
+    # numpy and native C++ paths agree byte-for-byte on the same input
+    # (encode_indexed dispatches to the C++ kernel when built)
+    np_stream, _ = encode_indexed(symbols, indices, cdf, lengths, offsets,
+                                  16, use_native=False)
+    np.testing.assert_array_equal(np_stream, our_stream)

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from hific_tpu.config import Config, hific_config, mse_lpips_config
 from hific_tpu.training.train_step import (
     create_train_state,
