@@ -1,72 +1,129 @@
-"""Benchmark: encode+decode throughput of the flagship HiFiC model.
+"""Benchmark: END-TO-END codec throughput of the flagship HiFiC model.
 
-Measures the device compute path of a full compress->reconstruct round trip
-(encoder + hyper analysis/synthesis + quantization + generator) on a
-1-megapixel image, in megapixels/sec/chip.
+Measures the full `.hfc` pipeline per megapixel image — device transforms
++ host rANS entropy coding + container file I/O, both directions:
 
-Baseline: the reference decodes (sans rANS) a ~megapixel image in ~2-3 s on
-GPU (reference src/README.md:87) => ~0.4 MP/s; the north-star target is >5x
-that (BASELINE.md). Encode on top of decode makes this conservative.
+    compress_file (encoder -> hyper codec -> rANS -> .hfc on disk)
+    decompress_file (.hfc -> rANS decode -> synthesis -> generator -> uint8)
+
+at a realistic ~0.3 bpp operating point (the HiFiC low-regime rate;
+random-init latents are scaled to land there — see _calibrate). This is
+the honest number: the entropy coder and transfers are INCLUDED.
+
+Baseline: the reference codes+decodes a ~megapixel image in ~2-3 s on GPU
+with its Python rANS named as the bottleneck (reference src/README.md:87-89)
+=> ~0.4 MP/s; the north-star target is >5x that (BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+A stage breakdown goes to stderr.
 """
 
 import json
+import os
+import sys
+import tempfile
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-REFERENCE_MP_PER_S = 0.4  # ~2.5 s / megapixel, decode-only, reference GPU
+REFERENCE_MP_PER_S = 0.4  # ~2.5 s / megapixel round trip, reference GPU
+
+H = W = 1024   # 1.05 MP
+TARGET_BPP = (0.20, 0.45)  # acceptance band around the 0.3 bpp low regime
+
+
+def _image(h, w):
+    """Smooth structured test image (natural-image-like spectrum), not white
+    noise — symbol statistics drive the rANS cost being measured."""
+    rng = np.random.RandomState(0)
+    low = rng.rand(h // 32, w // 32, 3).astype(np.float32)
+    img = jax.image.resize(jnp.asarray(low), (h, w, 3), "cubic")
+    img = img + 0.05 * rng.rand(h, w, 3).astype(np.float32)
+    img = (img - img.min()) / (img.max() - img.min())
+    return jnp.asarray(img[None])
+
+
+def _scale_latents(params, alpha):
+    """Scale the encoder's output conv: y -> alpha * y. Controls the coded
+    symbol magnitudes, i.e. the operating bpp of the random-init model."""
+    conv = dict(params["encoder"]["conv_out"]["Conv_0"])
+    conv = {"kernel": conv["kernel"] * alpha, "bias": conv["bias"] * alpha}
+    enc = {**dict(params["encoder"]), "conv_out": {"Conv_0": conv}}
+    return {**dict(params), "encoder": enc}
+
+
+def _calibrate(codec, base_params, x):
+    """Log-space bisection of the latent scale onto the target bpp band."""
+    lo, hi = 1e-3, 2.0
+    best = None
+    for _ in range(12):
+        alpha = float(np.sqrt(lo * hi))
+        codec.params = _scale_latents(base_params, alpha)
+        out = codec.compress(x)
+        bpp = out.total_bpp
+        best = (alpha, bpp)
+        print(f"calibrate: alpha={alpha:.5f} -> {bpp:.3f} bpp",
+              file=sys.stderr)
+        if TARGET_BPP[0] <= bpp <= TARGET_BPP[1]:
+            return alpha, bpp
+        if bpp > TARGET_BPP[1]:
+            hi = alpha
+        else:
+            lo = alpha
+    return best
 
 
 def main():
-    from hific_tpu.config import ModelModes, mse_lpips_config
+    from hific_tpu.codec import Codec
+    from hific_tpu.config import mse_lpips_config
     from hific_tpu.models.hific import HiFiC
 
-    H = W = 1024  # 1.05 MP per image
-    B = 2         # batch amortizes the per-dispatch transport latency
     config = mse_lpips_config(dtype="bfloat16")
     model = HiFiC(config)
-
     rng = jax.random.PRNGKey(0)
-    x = jnp.asarray(np.random.RandomState(0).rand(B, H, W, 3), jnp.float32)
-    variables = model.init({"params": rng, "quantize": rng},
-                           jnp.zeros((1, 64, 64, 3)), training=True)
-    params = variables["params"]
+    params = model.init({"params": rng, "quantize": rng},
+                        jnp.zeros((1, 64, 64, 3)), training=True)["params"]
 
-    @jax.jit
-    def roundtrip(params, x, rng):
-        """Evaluation-mode forward: pad -> encode -> hyperprior (hard
-        quantization) -> generate -> unpad. The device side of
-        compress()+decompress()."""
-        intermediates, _ = model.apply(
-            {"params": params}, x, training=False,
-            mode=ModelModes.EVALUATION, rngs={"quantize": rng})
-        return intermediates.reconstruction, intermediates.q_bpp
+    codec = Codec(config, params)
+    codec.build_tables()
+    x = _image(H, W)
 
-    # Warmup / compile.
-    out = roundtrip(params, x, rng)
-    jax.block_until_ready(out)
+    alpha, bpp = _calibrate(codec, params, x)
+    print(f"operating point: alpha={alpha:.5f}, {bpp:.3f} bpp",
+          file=sys.stderr)
 
-    # Synchronize via a SCALAR fetch each call: on tunneled PJRT transports
-    # block_until_ready() returns before execution completes, so only a
-    # device->host read reliably fences the computation. Fetching q_bpp (one
-    # f32) forces the whole program without paying the image transfer.
-    n_iters = 10
-    times = []
-    for i in range(n_iters):
+    tmpdir = tempfile.mkdtemp(prefix="hific_bench_")
+    path = os.path.join(tmpdir, "bench.hfc")
+
+    # Warmup both directions (compiles cached from calibration for compress).
+    codec.compress_file(x, path)
+    recon = codec.decompress_file(path, as_uint8=True)
+    assert recon.dtype == np.uint8 and recon.shape == (1, H, W, 3)
+
+    n_iters = 5
+    t_enc, t_dec = [], []
+    for _ in range(n_iters):
         t0 = time.perf_counter()
-        out = roundtrip(params, x, jax.random.fold_in(rng, i))
-        float(out[1])
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+        actual_bpp, _ = codec.compress_file(x, path)
+        t1 = time.perf_counter()       # file on disk == fully synced
+        recon = codec.decompress_file(path, as_uint8=True)
+        _ = int(recon[0, 0, 0, 0])     # host array; scalar touch for symmetry
+        t2 = time.perf_counter()
+        t_enc.append(t1 - t0)
+        t_dec.append(t2 - t1)
+    enc = float(np.median(t_enc))
+    dec = float(np.median(t_dec))
+    size = os.path.getsize(path)
 
-    mp = B * H * W / 1e6
-    mp_per_s = mp / dt
+    mp = H * W / 1e6
+    mp_per_s = mp / (enc + dec)
+    print(f"compress_file {enc*1e3:.0f} ms | decompress_file {dec*1e3:.0f} ms"
+          f" | {actual_bpp:.3f} bpp | {size} B | {mp:.2f} MP",
+          file=sys.stderr)
     print(json.dumps({
-        "metric": "encode_decode_throughput_1MP",
+        "metric": "codec_throughput_e2e_1MP",
         "value": round(mp_per_s, 3),
         "unit": "megapixels/sec/chip",
         "vs_baseline": round(mp_per_s / REFERENCE_MP_PER_S, 2),

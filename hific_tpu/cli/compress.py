@@ -40,6 +40,10 @@ def parse_args(argv=None):
     p.add_argument("--tile_latents", type=int, default=None,
                    help="decode the generator on latent tiles of this size "
                         "(bounded memory for very large images)")
+    p.add_argument("--tile_image", type=int, default=None,
+                   help="ENCODE on image tiles of this size (multiple of "
+                        "16): bounded memory compression for very large "
+                        "images; bit-identical to whole-image encoding")
     p.add_argument("-rc", "--reconstruct", action="store_true",
                    help="reconstruct without entropy coding (no .hfc)")
     p.add_argument("--shape_bucket", type=int, default=None,
@@ -169,7 +173,8 @@ def main(argv=None):
         else:
             t0 = time.time()
             hfc_path = os.path.join(a.output, name + ".hfc")
-            out = codec.compress(jnp.asarray(x), shape_bucket=a.shape_bucket)
+            out = codec.compress(jnp.asarray(x), shape_bucket=a.shape_bucket,
+                                 tile_image=a.tile_image)
             actual_bpp, theoretical_bpp = save_compressed(out, hfc_path)
             t_enc = time.time() - t0
 

@@ -27,7 +27,11 @@ from hific_tpu.training.train_step import (
     make_train_step_d,
     make_train_step_g,
 )
-from hific_tpu.utils.logging import MetricWriter, setup_logger
+from hific_tpu.utils.logging import (
+    MetricWriter,
+    save_side_by_side,
+    setup_logger,
+)
 
 
 def parse_args(argv=None):
@@ -180,15 +184,22 @@ def main(argv=None):
                            seed=a.seed)
     batches = prefetch(dataset.batches(config.batch_size), size=4)
 
-    eval_batches = None
+    eval_batch = None
     eval_fn = None
+    recon_dir = None
     if a.eval_dataset_path:
+        # ONE fixed held-out batch, evaluated every log interval — eval
+        # curves are deterministic and comparable across runs, matching the
+        # reference's fixed test batch (train.py:61-79).
         eval_ds = TrainDataset(a.eval_dataset_path,
                                crop_size=config.crop_size,
                                normalize=config.normalize_input_image,
                                seed=a.seed + 1)
-        eval_batches = eval_ds.batches(config.batch_size)
+        eval_batch = jnp.asarray(next(eval_ds.batches(config.batch_size,
+                                                      num_workers=1))[0])
         eval_fn = jax.jit(make_eval_step(config, lpips_apply))
+        recon_dir = os.path.join(exp_dir, "reconstructions")
+        os.makedirs(recon_dir, exist_ok=True)
 
     logger.info("Starting training for %d steps", config.n_steps)
     train_generator, d_steps_taken = True, 0
@@ -220,20 +231,25 @@ def main(argv=None):
                         step, scalars["weighted_compression_loss"],
                         scalars["q_rate"], scalars["images_per_sec"])
                     if eval_fn is not None:
-                        ex, _ = next(eval_batches)
+                        # Fixed batch + fixed RNG: deterministic eval.
                         ediag, einter = eval_fn(
-                            state, jnp.asarray(ex),
-                            jax.random.fold_in(state.rng, step))
+                            state, eval_batch,
+                            jax.random.PRNGKey(a.seed + 2))
                         writer.write(step,
                                      {k: float(v) for k, v in ediag.items()},
                                      prefix="test/")
                         recon = einter.reconstruction
+                        x_in = einter.input_image
                         if config.normalize_input_image:
                             recon = (recon + 1.0) / 2.0
+                            x_in = (x_in + 1.0) / 2.0
                         writer.write_images(step, {
-                            "test/input": einter.input_image,
+                            "test/input": x_in,
                             "test/reconstruction": recon,
                         })
+                        save_side_by_side(
+                            os.path.join(recon_dir, f"step_{step}.png"),
+                            x_in, recon)
                     t0, last_log_step = time.time(), step
                 if step % config.save_interval == 0:
                     checkpoints.save_checkpoint(ckpt_dir, state, config)

@@ -41,6 +41,10 @@ def _to_nhwc_int(x) -> np.ndarray:
     return np.ascontiguousarray(np.asarray(x).transpose(0, 2, 3, 1))
 
 
+# Encoder downsampling factor (4 stride-2 stages; reference encoder.py).
+ENC_SCALE = 16
+
+
 class Codec:
     """Evaluation-mode compression/decompression engine."""
 
@@ -92,6 +96,46 @@ class Codec:
                 {"params": p}, y_sym, mu, shape,
                 method=HiFiC.generate_from_symbols),
             static_argnums=(3,))
+        self._gen_syms_u8_p = jax.jit(
+            lambda p, y_sym, mu, shape: model.apply(
+                {"params": p}, y_sym, mu, shape,
+                method=HiFiC.generate_u8_from_symbols),
+            static_argnums=(3,))
+        # Whole compress device path in ONE dispatch (encode -> code_hyper
+        # -> synth_stats -> latent_symbols): per-dispatch latency on the
+        # tunneled transport is ~30 ms, so fusing 4 calls into 1 saves
+        # ~90 ms/image off the end-to-end codec path.
+        self._compress_syms_p = jax.jit(
+            lambda p, x, table: model.apply(
+                {"params": p}, x, table, method=HiFiC.compress_symbols))
+        # ...and the packed variant also collapses the five device->host
+        # fetches (z, y, idx, 2 bit scalars) into ONE uint8 buffer with
+        # int8 latent symbols: each fetch costs ~30 ms flat + ~21 ms/MB on
+        # this transport (see PERF.md).
+        self._compress_packed_p = jax.jit(
+            lambda p, x, table: model.apply(
+                {"params": p}, x, table,
+                method=HiFiC.compress_symbols_packed))
+        # Encode-side tiling programs: bare encoder per tile (ONE compiled
+        # executable for any image size), then the hyper/symbol stages run
+        # once on the assembled latents (tiny vs image-resolution work).
+        self._encoder_tile_p = jax.jit(
+            lambda p, x: model.apply({"params": p}, x,
+                                     method=HiFiC.encoder_forward))
+        self._compress_packed_lat_p = jax.jit(
+            lambda p, y, table: model.apply(
+                {"params": p}, y, table,
+                method=HiFiC.compress_symbols_packed_from_latents))
+        self._compress_syms_lat_p = jax.jit(
+            lambda p, y, table: model.apply(
+                {"params": p}, y, table,
+                method=HiFiC.compress_symbols_from_latents))
+        self._gen_packed_u8_p = jax.jit(
+            lambda p, y8, pos, val, mu, shape: model.apply(
+                {"params": p}, y8, pos, val, mu, shape,
+                method=HiFiC.generate_u8_from_packed_symbols),
+            static_argnums=(5,))
+        self._shape_cache = {}
 
         # The density closures only touch the (tiny) hyperprior params.
         hp_params = {"hyperprior": params["hyperprior"]}
@@ -112,15 +156,108 @@ class Codec:
         self._tables_built = True
 
     # ------------------------------------------------------------------ #
+    # Packed wire format (see HiFiC.compress_symbols_packed)
 
-    def compress(self, x, shape_bucket: Optional[int] = None
-                 ) -> CompressionOutput:
+    def _symbol_shapes(self, x_shape, from_latents: bool = False):
+        """(z_shape, y_shape) for a given input (or latent) shape, via
+        eval_shape (no device work)."""
+        key = (bool(from_latents),) + tuple(int(s) for s in x_shape)
+        if key not in self._shape_cache:
+            method = (HiFiC.compress_symbols_from_latents if from_latents
+                      else HiFiC.compress_symbols)
+            out = jax.eval_shape(
+                lambda p, xx, t: self._model.apply(
+                    {"params": p}, xx, t, method=method),
+                self.params,
+                jax.ShapeDtypeStruct(tuple(x_shape), jnp.float32),
+                self._scale_table_dev)
+            self._shape_cache[key] = (tuple(out[0].shape),
+                                      tuple(out[1].shape))
+        return self._shape_cache[key]
+
+    def _unpack_compressed(self, buf: np.ndarray, z_shape, y_shape):
+        """Parse the packed uint8 buffer. Returns
+        (z_sym, y_sym int16 or None-on-escape-overflow, idx, hyper_bits,
+        latent_bits)."""
+        from hific_tpu.models.hific import N_LATENT_ESCAPES as K
+
+        nz = int(np.prod(z_shape))
+        ny = int(np.prod(y_shape))
+        esc_count = int(buf[0:4].view(np.int32)[0])
+        hyper_bits = float(buf[4:8].view(np.float32)[0])
+        latent_bits = float(buf[8:12].view(np.float32)[0])
+        off = 12
+        z_sym = buf[off:off + 2 * nz].view(np.int16).reshape(z_shape)
+        off += 2 * nz
+        y8 = buf[off:off + ny].view(np.int8)
+        off += ny
+        idx = buf[off:off + ny].reshape(y_shape)
+        off += ny
+        if esc_count > K:
+            return z_sym, None, idx, hyper_bits, latent_bits
+        y_sym = y8.astype(np.int16)
+        if esc_count:
+            esc_pos = buf[off:off + 4 * K].view(np.int32)
+            off += 4 * K
+            esc_val = buf[off:off + 2 * K].view(np.int16)
+            live = esc_pos >= 0
+            y_sym[esc_pos[live]] = esc_val[live]
+        return (z_sym, y_sym.reshape(y_shape), idx, hyper_bits, latent_bits)
+
+    def _device_compress(self, x, spatial_shape, tile_image=None,
+                         halo_image=64):
+        """Single-dispatch, single-fetch device compression. Returns numpy
+        (z_sym, y_sym, idx, hyper_bits, latent_bits).
+
+        tile_image: run the encoder on image tiles of this size with
+        `halo_image` pixels of context (both multiples of 16) — bounded
+        HBM for arbitrary resolutions, bit-identical latents for halos
+        >= the encoder's one-sided receptive extent (49 px; default 64)."""
+        if tile_image:
+            from hific_tpu.tiling import tiled_downsample_apply
+
+            y = tiled_downsample_apply(
+                lambda t: self._encoder_tile_p(self.params, t), x,
+                scale=ENC_SCALE, tile=tile_image, halo=halo_image)
+            buf = np.asarray(self._compress_packed_lat_p(
+                self.params, y, self._scale_table_dev))
+            z_shape, y_shape = self._symbol_shapes(y.shape, from_latents=True)
+            z_sym, y_sym, idx, hb, lb = self._unpack_compressed(
+                buf, z_shape, y_shape)
+            if y_sym is None:
+                _, y16, _, _, _ = self._compress_syms_lat_p(
+                    self.params, y, self._scale_table_dev)
+                y_sym = np.asarray(y16)
+            return z_sym, y_sym, idx, hb, lb
+        buf = np.asarray(
+            self._compress_packed_p(self.params, x, self._scale_table_dev))
+        z_shape, y_shape = self._symbol_shapes(x.shape)
+        z_sym, y_sym, idx, hb, lb = self._unpack_compressed(
+            buf, z_shape, y_shape)
+        if y_sym is None:  # >N_LATENT_ESCAPES int8 escapes: unpacked path
+            _, y16, _, _, _ = self._compress_syms_p(self.params, x,
+                                                    self._scale_table_dev)
+            y_sym = np.asarray(y16)
+        return z_sym, y_sym, idx, hb, lb
+
+    # ------------------------------------------------------------------ #
+
+    def compress(self, x, shape_bucket: Optional[int] = None,
+                 tile_image: Optional[int] = None,
+                 halo_image: int = 64) -> CompressionOutput:
         """x: (1,H,W,3) float in [0,1] (NHWC, device or numpy).
 
         shape_bucket: reflect-pad H,W up to multiples of this value before
         encoding. Costs a few extra coded latents but caps the number of
         distinct compiled shapes on mixed-size datasets (each new shape
         otherwise pays a fresh XLA compile).
+
+        tile_image: encode on image tiles of this size (+halo_image
+        context, both multiples of 16): bounds compression HBM for
+        arbitrary resolutions (the reference OOMs >~4000x4000 and needs
+        ~8 GB/MP, src/README.md:113-114). Bit-identical to whole-image
+        compression (tested) when halo_image >= the encoder's one-sided
+        receptive extent (49 px; default 64).
         """
         if not self._tables_built:
             self.build_tables()
@@ -131,16 +268,12 @@ class Codec:
 
             x = pad_factor(x, shape_bucket)
 
-        # Device: transforms + quantization + rate estimates. Only int16
-        # symbols and uint8 indices cross to the host.
-        y, _ = self._encode(x)
-        z_sym, hyper_bits_dev = self._code_hyper_p(self.params, y)
-        # synth_stats consumes the DECODED symbols on the decoder side; the
-        # coder is lossless (tested), so the encoder can use them directly.
-        mu, sigma, idx = self._synth_stats_p(self.params, z_sym,
-                                             self._scale_table_dev)
-        y_sym, latent_bits_dev = self._latent_syms_p(self.params, y, mu,
-                                                     sigma, spatial_shape)
+        # Device: transforms + quantization + rate estimates, fused into a
+        # single dispatch AND a single packed fetch (int8 symbols + uint8
+        # indices; synth_stats inside consumes the DECODED symbols exactly
+        # as the decoder side does; the coder is lossless — tested).
+        z_sym, y_sym, idx, hyper_bits, latent_bits = self._device_compress(
+            x, spatial_shape, tile_image=tile_image, halo_image=halo_image)
 
         z_sym_np = _to_nchw(z_sym).astype(np.int32)
         y_sym_np = _to_nchw(y_sym).astype(np.int32)
@@ -148,8 +281,6 @@ class Codec:
         batch = z_sym_np.shape[0]
         hyper_spatial = z_sym_np.shape[2:]
 
-        hyper_bits = float(hyper_bits_dev)
-        latent_bits = float(latent_bits_dev)
         n_pixels = float(np.prod(spatial_shape))
         hyper_bpp = hyper_bits / n_pixels
         latent_bpp = latent_bits / n_pixels
@@ -177,8 +308,12 @@ class Codec:
 
     def decompress(self, out: CompressionOutput,
                    tile_latents: Optional[int] = None,
-                   halo_latents: int = 16) -> np.ndarray:
-        """Returns the reconstruction, (1,H,W,3) float in [0,1].
+                   halo_latents: int = 16,
+                   as_uint8: bool = False) -> np.ndarray:
+        """Returns the reconstruction, (1,H,W,3): float in [0,1], or uint8
+        when `as_uint8` (quantized ON DEVICE to the PNG pixel mapping —
+        ships 3 bytes/px instead of 12 over relayed transports; preferred
+        for serving/file output).
 
         tile_latents: run the generator on latent tiles of this size (with
         `halo_latents` context) instead of the whole latent map — bounds HBM
@@ -197,19 +332,41 @@ class Codec:
         idx_np = _to_nchw(idx).astype(np.int32)
         y_sym_np = self.conditional.decompress_symbols(
             out.latents_encoded, idx_np, vectorize=self.vectorize)
-        y_sym = jnp.asarray(_to_nhwc_int(y_sym_np), jnp.int16)
+        y_nhwc = _to_nhwc_int(y_sym_np)
 
         h, w = out.spatial_shape
         if tile_latents is not None:
             from hific_tpu.tiling import tiled_upsample_apply
 
-            y_hat = jnp.asarray(y_sym, jnp.float32) + mu
+            y_hat = jnp.asarray(y_nhwc, jnp.float32) + mu
             ext = tile_latents + 2 * halo_latents
             gen = lambda lat: self._generate(lat, (ext * 16, ext * 16))
             recon = tiled_upsample_apply(gen, y_hat, scale=16,
                                          tile=tile_latents, halo=halo_latents)
-            return np.clip(recon[:, :h, :w, :], 0.0, 1.0)
-        return np.asarray(self._gen_syms_p(self.params, y_sym, mu, (h, w)))
+            recon = np.clip(recon[:, :h, :w, :], 0.0, 1.0)
+            if as_uint8:
+                recon = (recon * 255.0 + 0.5).astype(np.uint8)
+            return recon
+        if as_uint8:
+            from hific_tpu.models.hific import N_LATENT_ESCAPES as K
+
+            # int8 + escapes upload (half the bytes of int16 symbols).
+            y_flat = y_nhwc.reshape(-1)
+            y8 = np.clip(y_flat, -128, 127).astype(np.int8)
+            esc = np.nonzero(y_flat != y8.astype(np.int64))[0]
+            if len(esc) <= K:
+                pos = np.full(K, -1, np.int32)
+                val = np.zeros(K, np.int16)
+                pos[: len(esc)] = esc
+                val[: len(esc)] = y_flat[esc]
+                y8_dev = jnp.asarray(y8.reshape(y_nhwc.shape))
+                return np.asarray(self._gen_packed_u8_p(
+                    self.params, y8_dev, jnp.asarray(pos), jnp.asarray(val),
+                    mu, (h, w)))
+            return np.asarray(self._gen_syms_u8_p(
+                self.params, jnp.asarray(y_nhwc, jnp.int16), mu, (h, w)))
+        return np.asarray(self._gen_syms_p(
+            self.params, jnp.asarray(y_nhwc, jnp.int16), mu, (h, w)))
 
     def reconstruct(self, x) -> np.ndarray:
         """Eval-mode reconstruction WITHOUT entropy coding (the reference's
@@ -239,12 +396,13 @@ class Codec:
         """Compress to a `.hfc` file; returns (actual_bpp, theoretical_bpp)."""
         return save_compressed(self.compress(x), path)
 
-    def decompress_file(self, path: str) -> np.ndarray:
-        return self.decompress(load_compressed(path))
+    def decompress_file(self, path: str, **kw) -> np.ndarray:
+        return self.decompress(load_compressed(path), **kw)
 
     # ------------------------------------------------------------------ #
 
-    def compress_many(self, images) -> list:
+    def compress_many(self, images,
+                      shape_bucket: Optional[int] = None) -> list:
         """Pipelined batch compression: the TPU runs image i+1's transforms
         while the host rANS-codes image i (the reference serializes these —
         its coder is the acknowledged bottleneck, src/README.md:89).
@@ -252,6 +410,10 @@ class Codec:
         JAX's async dispatch does the overlap: stage-1 device work for the
         next image is enqueued before the host blocks on the previous
         image's arrays.
+
+        shape_bucket: same padding as `compress` — essential here on
+        mixed-resolution datasets, since every distinct shape otherwise
+        pays a fresh XLA compile inside the pipeline.
         """
         if not self._tables_built:
             self.build_tables()
@@ -262,24 +424,27 @@ class Codec:
         for x in images:
             x = jnp.asarray(x, jnp.float32)
             spatial_shape = tuple(int(s) for s in x.shape[1:3])
-            y, _ = self._encode(x)
-            z_sym, hyper_bits_dev = self._code_hyper_p(self.params, y)
-            mu, sigma, idx = self._synth_stats_p(self.params, z_sym,
-                                                 self._scale_table_dev)
-            y_sym, latent_bits_dev = self._latent_syms_p(
-                self.params, y, mu, sigma, spatial_shape)
-            staged.append((spatial_shape, z_sym, y_sym, idx,
-                           hyper_bits_dev, latent_bits_dev))
+            if shape_bucket:
+                from hific_tpu.ops.padding import pad_factor
+
+                x = pad_factor(x, shape_bucket)
+            buf = self._compress_packed_p(self.params, x,
+                                          self._scale_table_dev)
+            staged.append((spatial_shape, x, buf))
 
         outputs = []
-        for (spatial_shape, z_sym, y_sym, idx, hyper_bits_dev,
-             latent_bits_dev) in staged:
-            z_sym_np = _to_nchw(z_sym).astype(np.int32)  # sync for image i
+        for spatial_shape, x, buf in staged:
+            z_shape, y_shape = self._symbol_shapes(x.shape)
+            z_sym, y_sym, idx, hyper_bits, latent_bits = (
+                self._unpack_compressed(np.asarray(buf), z_shape, y_shape))
+            if y_sym is None:  # escape overflow: unpacked int16 path
+                _, y16, _, _, _ = self._compress_syms_p(
+                    self.params, x, self._scale_table_dev)
+                y_sym = np.asarray(y16)
+            z_sym_np = _to_nchw(z_sym).astype(np.int32)
             y_sym_np = _to_nchw(y_sym).astype(np.int32)
             idx_np = _to_nchw(idx).astype(np.int32)
             batch, hyper_spatial = z_sym_np.shape[0], z_sym_np.shape[2:]
-            hyper_bits = float(hyper_bits_dev)
-            latent_bits = float(latent_bits_dev)
             n_pixels = float(np.prod(spatial_shape))
             hyper_bpp, latent_bpp = (hyper_bits / n_pixels,
                                      latent_bits / n_pixels)

@@ -27,6 +27,20 @@ from hific_tpu.models.density import PRECISION_P, TAIL_MASS
 import jax.numpy as jnp
 
 
+def import_cdf_tables(cdf, cdf_length, cdf_offset, precision: int
+                      ) -> CdfTables:
+    """Wrap raw quantized-CDF arrays (any int dtype, reference layout) into
+    a CdfTables bundle with the O(1) inverse decode table rebuilt."""
+    from hific_tpu.entropy.coding import build_inverse_table
+
+    cdf = np.ascontiguousarray(np.asarray(cdf), dtype=np.uint32)
+    cdf_length = np.asarray(cdf_length, np.int32)
+    cdf_offset = np.asarray(cdf_offset, np.int32)
+    return CdfTables(cdf, cdf_length, cdf_offset,
+                     build_inverse_table(cdf, cdf_length, precision),
+                     int(precision))
+
+
 class FactorizedEntropyModel:
     """Entropy model for the learned factorized hyperlatent density: one CDF
     row per channel, parameters independent of the data."""
@@ -94,6 +108,17 @@ class FactorizedEntropyModel:
         return dec(encoded, indices, self.tables.cdf,
                    self.tables.cdf_length, self.tables.cdf_offset,
                    self.precision, inverse_table=self.tables.inverse)
+
+    def import_tables(self, cdf, cdf_length, cdf_offset,
+                      precision: Optional[int] = None) -> CdfTables:
+        """Install externally-built quantized CDF tables (e.g. built once at
+        train time and shipped with the model, or the reference's
+        torch-built tables for bit-exact interop). Sender and receiver MUST
+        code against identical tables; importing pins them explicitly
+        instead of relying on both float stacks rounding identically."""
+        self.tables = import_cdf_tables(cdf, cdf_length, cdf_offset,
+                                        precision or self.precision)
+        return self.tables
 
     def estimate_bits(self, z: np.ndarray, spatial_shape) -> Tuple[float, float, float]:
         """(total bits, bpp, bits-per-image) under the learned density, after
@@ -166,6 +191,14 @@ class ConditionalEntropyModel:
         return dec(encoded, indices, self.tables.cdf,
                    self.tables.cdf_length, self.tables.cdf_offset,
                    self.precision, inverse_table=self.tables.inverse)
+
+    def import_tables(self, cdf, cdf_length, cdf_offset,
+                      precision: Optional[int] = None) -> CdfTables:
+        """Install externally-built scale tables (see
+        FactorizedEntropyModel.import_tables)."""
+        self.tables = import_cdf_tables(cdf, cdf_length, cdf_offset,
+                                        precision or self.precision)
+        return self.tables
 
     def estimate_bits(self, y, means, scales, spatial_shape):
         """Shannon bits of hard-quantized latents under the continuous

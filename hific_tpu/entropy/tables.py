@@ -39,13 +39,17 @@ def prior_scale_table(scales_min=SCALES_MIN, scales_max=SCALES_MAX,
     return np.exp(np.linspace(np.log(scales_min), np.log(scales_max), levels))
 
 
-def estimate_tails(cdf_fn: Callable, target, shape, max_iters=2000,
+def estimate_tails(cdf_fn: Callable, target, shape, max_iters=200_000,
                    extra_counts=24):
     """Find x with cdf_fn(x) == target by vectorized Adam, jitted.
 
     Runs until every lane has overshot the optimum for `extra_counts`
-    consecutive-ish iterations (the reference's convergence rule), bounded
-    by max_iters. cdf_fn must be monotone and jax-differentiable.
+    consecutive-ish iterations — the reference's convergence rule
+    (compression_utils.py:30-80, which iterates UNBOUNDED; max_iters here
+    is only a runaway backstop, far above any real convergence: Adam at
+    lr=1e-2 moves ~1e-2/step, and even tails at |x|~100 need ~1e4 steps.
+    An early cap silently truncates the coder's tail support and bloats
+    overflow escapes). cdf_fn must be monotone and jax-differentiable.
     """
     target = jnp.asarray(target, jnp.float32)
     lr, eps = 1e-2, 1e-8

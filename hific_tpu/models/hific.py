@@ -19,6 +19,18 @@ from hific_tpu.models.hyperprior import Hyperprior, HyperpriorDLMM
 from hific_tpu.ops.padding import pad_factor
 
 
+# Escape slots for int8 latent-symbol wire packing (compress_symbols_packed).
+N_LATENT_ESCAPES = 2048
+
+
+def _le_bytes(a, width: int):
+    """Little-endian byte expansion of an integer array via explicit
+    shifts (backend-portable, unlike narrowing bitcast byte order)."""
+    a = a.astype(jnp.uint32) if width == 4 else a.astype(jnp.uint16)
+    parts = [((a >> (8 * i)) & 0xFF).astype(jnp.uint8) for i in range(width)]
+    return jnp.stack(parts, axis=-1).reshape(-1)
+
+
 class Intermediates(NamedTuple):
     input_image: jnp.ndarray       # [0,1] (or [-1,1] if normalize_input_image)
     reconstruction: jnp.ndarray
@@ -185,9 +197,96 @@ class HiFiC(nn.Module):
         bits = -jnp.sum(jnp.log(lik + 1e-9)) / jnp.log(2.0)
         return y_sym.astype(jnp.int16), bits
 
+    def compress_symbols(self, x, scale_table):
+        """Fused device side of Codec.compress — ONE dispatch on relayed
+        transports (per-dispatch latency is ~30 ms there, and the unfused
+        path costs four).
+
+        x -> (z_sym, y_sym, idx, hyper_bits, latent_bits). Uses the same
+        synth_stats program as the decoder (int16 symbols in), preserving
+        the encode/decode determinism invariant.
+        """
+        y, _ = self.encode(x)
+        return self.compress_symbols_from_latents(y, scale_table)
+
+    def encoder_forward(self, x):
+        """Bare encoder conv stack (no padding): the per-tile program for
+        encode-side tiling (tiles are already halo-padded multiples of the
+        downsampling factor)."""
+        return self.encoder(x)
+
+    def compress_symbols_from_latents(self, y, scale_table):
+        """Codec stages downstream of the encoder, on explicit latents —
+        entry point for encode-side tiling, where y was assembled from
+        encoder tiles. Pads y to the hyper downsampling factor exactly as
+        `encode` does (idempotent on already-padded latents)."""
+        y = pad_factor(y, 2 ** self.hyperprior.analysis_net.n_downsampling_layers)
+        z_sym, hyper_bits = self.code_hyper(y)
+        mu, sigma, idx = self.synth_stats(z_sym, scale_table)
+        y_sym, latent_bits = self.latent_symbols(y, mu, sigma, None)
+        return z_sym, y_sym, idx, hyper_bits, latent_bits
+
     def generate_from_symbols(self, y_sym, mu, spatial_shape):
         """Decoded latent symbols + on-device means -> reconstruction."""
         return self.generate(y_sym.astype(jnp.float32) + mu, spatial_shape)
+
+    def compress_symbols_packed(self, x, scale_table):
+        """compress_symbols + on-device packing of every output into ONE
+        uint8 buffer, so the host needs a single fetch (each device->host
+        read costs ~30 ms flat on relayed transports, and the unpacked path
+        needs five: z, y, idx, and two bit-count scalars).
+
+        Latent symbols ship as int8 + up to N_LATENT_ESCAPES exceptions
+        (flat index, int16 value); symbols outside int8 are virtually
+        nonexistent at real operating points, and the host falls back to
+        the unpacked program when the escape count overflows.
+
+        Layout (explicit little-endian arithmetic packing — portable
+        across backends, unlike bitcast byte order):
+          [0:4)   escape count, int32
+          [4:8)   hyperlatent Shannon bits, float32
+          [8:12)  latent Shannon bits, float32
+          [12:12+2*Nz)  z_sym int16
+          [..+Ny)       y8 int8
+          [..+Ny)       idx uint8
+          [..+4*K)      escape flat positions int32 (-1 padding)
+          [..+2*K)      escape values int16
+        """
+        return _pack_codec_outputs(*self.compress_symbols(x, scale_table))
+
+    def compress_symbols_packed_from_latents(self, y, scale_table):
+        """Packed variant of compress_symbols_from_latents (encode-side
+        tiling ships one buffer to the host, like the whole-image path)."""
+        return _pack_codec_outputs(
+            *self.compress_symbols_from_latents(y, scale_table))
+
+    def generate_u8_from_packed_symbols(self, y8, esc_pos, esc_val, mu,
+                                        spatial_shape):
+        """uint8 decode with int8 latent symbols + escape writeback (the
+        host->device mirror of compress_symbols_packed: ships half the
+        bytes of int16 symbols)."""
+        y_flat = y8.reshape(-1).astype(jnp.float32)
+        n = y_flat.shape[0]
+        # Route the -1 padding slots to a sentinel element PAST the data:
+        # clamping them to 0 instead would duplicate-scatter index 0 with
+        # the clipped value, racing a real escape there (scatter order with
+        # duplicate indices is undefined).
+        tgt = jnp.where(esc_pos >= 0, esc_pos, n)
+        padded = jnp.concatenate([y_flat, jnp.zeros((1,), y_flat.dtype)])
+        padded = padded.at[tgt].set(
+            jnp.where(esc_pos >= 0, esc_val.astype(jnp.float32), 0.0))
+        y = padded[:n].reshape(y8.shape) + mu
+        return (self.generate(y, spatial_shape) * 255.0 + 0.5).astype(
+            jnp.uint8)
+
+
+    def generate_u8_from_symbols(self, y_sym, mu, spatial_shape):
+        """Like generate_from_symbols but quantized to uint8 ON DEVICE
+        (identical to the PNG pixel mapping round(x*255)): ships 3 bytes/px
+        over the wire instead of 12 — on relayed transports the fp32 image
+        download alone would dominate decode latency."""
+        r = self.generate_from_symbols(y_sym, mu, spatial_shape)
+        return (r * 255.0 + 0.5).astype(jnp.uint8)
 
     def hyperlatent_likelihood_at(self, z):
         """Evaluate the learned hyperlatent density (for table building and
@@ -207,6 +306,34 @@ class HiFiC(nn.Module):
         if self.config.normalize_input_image:
             reconstruction = (reconstruction + 1.0) / 2.0
         return jnp.clip(reconstruction, 0.0, 1.0)
+
+
+def _pack_codec_outputs(z_sym, y_sym, idx, hyper_bits, latent_bits):
+    """On-device packing of the codec outputs into one uint8 buffer (layout
+    documented on HiFiC.compress_symbols_packed)."""
+    y_flat = y_sym.reshape(-1)
+    y8 = jnp.clip(y_flat, -128, 127).astype(jnp.int8)
+    esc_mask = y_flat != y8.astype(jnp.int16)
+    esc_count = jnp.sum(esc_mask).astype(jnp.int32)
+    k = N_LATENT_ESCAPES
+    esc_pos = jnp.nonzero(esc_mask, size=k, fill_value=-1)[0].astype(
+        jnp.int32)
+    esc_val = jnp.where(esc_pos >= 0,
+                        y_flat[jnp.maximum(esc_pos, 0)],
+                        0).astype(jnp.int16)
+
+    return jnp.concatenate([
+        _le_bytes(esc_count.reshape(1), 4),
+        _le_bytes(jax.lax.bitcast_convert_type(
+            hyper_bits.astype(jnp.float32).reshape(1), jnp.uint32), 4),
+        _le_bytes(jax.lax.bitcast_convert_type(
+            latent_bits.astype(jnp.float32).reshape(1), jnp.uint32), 4),
+        _le_bytes(z_sym.reshape(-1), 2),
+        jax.lax.bitcast_convert_type(y8, jnp.uint8),
+        idx.reshape(-1),
+        _le_bytes(esc_pos, 4),
+        _le_bytes(esc_val, 2),
+    ])
 
 
 if __name__ == "__main__":

@@ -74,6 +74,66 @@ def reconstruct_tiled(model_apply_fn, x, tile: int = 768, halo: int = 128):
     return tiled_apply(model_apply_fn, x, tile=tile, halo=halo)
 
 
+def tiled_downsample_apply(fn: Callable, x, scale: int, tile: int = 1024,
+                           halo: int = 64):
+    """Tile-wise application of a downsampling map (e.g. the HiFiC encoder:
+    image (1,h,w,3) -> latents (1, h/scale, w/scale, C)) with bounded
+    memory. Returns a DEVICE array of shape (1, ceil(h/scale),
+    ceil(w/scale), C) — callers feed it straight into the (small) hyper /
+    symbol programs without a host round trip.
+
+    Used by the codec to COMPRESS megapixel+ images in bounded HBM: the
+    encoder's image-resolution activations dominate memory (the reference
+    needs ~8 GB and OOMs beyond ~4000x4000, src/README.md:113-114). With
+    `halo` >= the encoder's receptive-field radius (18 px for the HiFiC
+    stack) tile cores are EXACT, and the bottom/right reflect padding
+    matches pad_factor's, so the assembled latents equal the whole-image
+    encode bit-for-bit.
+
+    Tile windows are CLAMPED inside the image (never padded with synthetic
+    context): near an image border the window slides inward so its edge
+    coincides with the true image edge, and the conv stack's own boundary
+    padding fires exactly as it would whole-image. Interior tiles keep the
+    core >= halo away from every window edge. Both together make the
+    assembly exact EVERYWHERE, not just in the interior.
+
+    tile and halo must be multiples of `scale` (core cropping happens in
+    latent units).
+    """
+    from hific_tpu.ops.padding import pad_factor
+
+    assert x.shape[0] == 1
+    assert tile % scale == 0 and halo % scale == 0
+    # Same bottom/right reflect padding as the whole-image encode path.
+    x = pad_factor(jnp.asarray(x), scale)
+    _, h, w, c = x.shape
+
+    ext = tile + 2 * halo
+    ext_h, ext_w = min(ext, h), min(ext, w)
+    n_th = math.ceil(h / tile) if h > ext_h else 1
+    n_tw = math.ceil(w / tile) if w > ext_w else 1
+    if n_th == 1 and n_tw == 1:
+        return fn(x)
+
+    sl = scale
+    rows = []
+    for ti in range(n_th):
+        c_h0 = ti * tile
+        c_h1 = min(c_h0 + tile, h)
+        s_h = min(max(c_h0 - halo, 0), h - ext_h)
+        row = []
+        for tj in range(n_tw):
+            c_w0 = tj * tile
+            c_w1 = min(c_w0 + tile, w)
+            s_w = min(max(c_w0 - halo, 0), w - ext_w)
+            tile_out = fn(jax.lax.dynamic_slice(
+                x, (0, s_h, s_w, 0), (1, ext_h, ext_w, c)))
+            row.append(tile_out[:, (c_h0 - s_h) // sl : (c_h1 - s_h) // sl,
+                                (c_w0 - s_w) // sl : (c_w1 - s_w) // sl, :])
+        rows.append(jnp.concatenate(row, axis=2))
+    return jnp.concatenate(rows, axis=1)
+
+
 def tiled_upsample_apply(fn: Callable, x, scale: int, out_channels: int = 3,
                          tile: int = 48, halo: int = 16):
     """Tile-wise application of an upsampling map (e.g. the HiFiC generator:

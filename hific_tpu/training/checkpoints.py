@@ -74,10 +74,19 @@ def restore_train_state(path: str, config: Config, rng,
         return ckptr.restore(path, target=template)
 
     # Warmstart: restore into a template of the SOURCE config shape, then
-    # graft the codec subtrees onto the fresh target state.
+    # graft the codec subtrees onto the fresh target state. The source
+    # config MUST be present — guessing a template shape would either trip
+    # an opaque Orbax structure error or silently restore into a
+    # wrong-shaped model.
     src_config_dir = os.path.dirname(os.path.abspath(path))
-    src_config = load_config(src_config_dir) or config.replace(
-        model_type="compression", discriminator_steps=0)
+    src_config = load_config(src_config_dir)
+    if src_config is None:
+        raise FileNotFoundError(
+            f"warmstart source config not found: expected "
+            f"{os.path.join(src_config_dir, CONFIG_FILENAME)} next to the "
+            f"checkpoint (written by save_checkpoint). Re-save the source "
+            f"run's config there, or restore with warmstart=False if the "
+            f"model types match.")
     src_template = create_train_state(src_config, rng)
     src_state = ckptr.restore(path, target=src_template)
     return template.replace(

@@ -65,7 +65,10 @@ def convert_state_dict(sd: Dict, n_residual_blocks: int = 9,
 
     sd: the torch `model_state_dict` (tensors or numpy arrays).
     """
-    sd = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+    # np.array(..) COPIES: torch's .numpy() shares memory with live module
+    # buffers, and e.g. spectral_norm updates weight_u IN PLACE on forward —
+    # a converted view would silently change under us.
+    sd = {k: np.array(v.numpy() if hasattr(v, "numpy") else v)
           for k, v in sd.items()}
     p: Dict = {}
 

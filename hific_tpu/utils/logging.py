@@ -84,3 +84,21 @@ class MetricWriter:
 
     def close(self):
         self._jsonl.close()
+
+
+def save_side_by_side(path: str, inputs, recons, max_images: int = 4):
+    """On-disk input|reconstruction comparison PNG (one row per image),
+    matching the reference's per-eval reconstruction dumps
+    (train.py:61-79, utils.save_images utils.py:376-380).
+
+    inputs/recons: NHWC float batches in [0,1]."""
+    import numpy as np
+    from PIL import Image
+
+    x = np.clip(np.asarray(inputs)[:max_images], 0.0, 1.0)
+    r = np.clip(np.asarray(recons)[:max_images], 0.0, 1.0)
+    rows = [np.concatenate([xi, ri], axis=1) for xi, ri in zip(x, r)]
+    grid = np.concatenate(rows, axis=0)
+    arr = (grid * 255.0 + 0.5).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+    return path

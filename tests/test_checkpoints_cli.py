@@ -102,6 +102,7 @@ def test_train_and_compress_cli(tmp_path, image_dir):
     ckpt_path = train_cli.main([
         "--model_type", "compression",
         "--dataset_path", image_dir,
+        "--eval_dataset_path", image_dir,
         "--experiments_dir", exp,
         "--batch_size", "2", "--steps", "4", "--crop_size", "64",
         "--latent_channels", "8", "--n_residual_blocks", "1",
@@ -110,6 +111,10 @@ def test_train_and_compress_cli(tmp_path, image_dir):
     ])
     assert os.path.exists(ckpt_path)
     ckpt_dir = os.path.dirname(ckpt_path)
+    # deterministic fixed-batch eval dumps side-by-side reconstructions
+    exp_dir = os.path.dirname(ckpt_dir)
+    recons = os.listdir(os.path.join(exp_dir, "reconstructions"))
+    assert any(f.startswith("step_") and f.endswith(".png") for f in recons)
 
     out_dir = str(tmp_path / "out")
     rows = compress_cli.main([
@@ -127,3 +132,46 @@ def test_train_and_compress_cli(tmp_path, image_dir):
     assert os.path.exists(os.path.join(out_dir, "metrics.json"))
     with open(os.path.join(out_dir, "metrics.json")) as f:
         assert len(json.load(f)) == 3
+
+    # --- eval harness (Kodak-style parity table + expected-values diff) ---
+    from hific_tpu.cli import eval_kodak
+
+    eval_dir = str(tmp_path / "eval")
+    report = eval_kodak.main([
+        "-ckpt", ckpt_dir, "-i", image_dir, "-o", eval_dir,
+        "--pipeline", "2",
+    ])
+    assert len(report["rows"]) == 3
+    assert "bpp" in report["mean"] and "psnr" in report["mean"]
+    assert os.path.exists(os.path.join(eval_dir, "eval_report.json"))
+
+    # expected == measured -> parity OK; skewed -> failures reported
+    exp_ok = {"mean": {"bpp": report["mean"]["bpp"],
+                       "psnr": report["mean"]["psnr"]}}
+    exp_bad = {"mean": {"psnr": report["mean"]["psnr"] + 5.0},
+               "per_image": {"img_0": {"bpp": 99.0}, "missing": {"bpp": 1.0}}}
+    p_ok = str(tmp_path / "exp_ok.json")
+    p_bad = str(tmp_path / "exp_bad.json")
+    with open(p_ok, "w") as f:
+        json.dump(exp_ok, f)
+    with open(p_bad, "w") as f:
+        json.dump(exp_bad, f)
+    rep_ok = eval_kodak.main(["-ckpt", ckpt_dir, "-i", image_dir,
+                              "-o", eval_dir, "--expected", p_ok])
+    assert rep_ok["failures"] == []
+    rep_bad = eval_kodak.main(["-ckpt", ckpt_dir, "-i", image_dir,
+                               "-o", eval_dir, "--expected", p_bad])
+    assert len(rep_bad["failures"]) == 3
+
+
+def test_warmstart_without_source_config_errors(tmp_path):
+    """Warmstart MUST fail loudly when config.json is missing next to the
+    checkpoint (a guessed template shape would silently mis-restore)."""
+    cfg = mse_lpips_config(**TINY)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    ckpt_dir = str(tmp_path / "rd")
+    path = checkpoints.save_checkpoint(ckpt_dir, state, cfg)
+    os.remove(os.path.join(ckpt_dir, "config.json"))
+    with pytest.raises(FileNotFoundError, match="warmstart source config"):
+        checkpoints.restore_train_state(path, hific_config(**TINY),
+                                        jax.random.PRNGKey(1), warmstart=True)

@@ -216,3 +216,44 @@ def test_codec_deterministic(tiny_codec):
     np.testing.assert_array_equal(out1.latents_encoded, out2.latents_encoded)
     np.testing.assert_array_equal(out1.hyperlatents_encoded,
                                   out2.hyperlatents_encoded)
+
+
+def test_packed_wire_escape_path(tiny_codec):
+    """int8 symbol wire format: when latent symbols exceed int8 (forced by
+    scaling the encoder output enormously), the escape slots (and the int16
+    fallback beyond them) must keep the round trip exact."""
+    from hific_tpu.models.hific import N_LATENT_ESCAPES
+
+    codec = tiny_codec
+    base = codec.params
+
+    def scale(alpha):
+        conv = dict(base["encoder"]["conv_out"]["Conv_0"])
+        conv = {"kernel": conv["kernel"] * alpha, "bias": conv["bias"] * alpha}
+        return {**dict(base),
+                "encoder": {**dict(base["encoder"]),
+                            "conv_out": {"Conv_0": conv}}}
+
+    x = jnp.asarray(np.random.RandomState(3).rand(1, 64, 64, 3), jnp.float32)
+    try:
+        for alpha, expect_escapes in [(1.0, False), (400.0, True)]:
+            codec.params = scale(alpha)
+            codec._shape_cache.clear()
+            out = codec.compress(x)
+            # ground truth via the unpacked int16 program
+            _, y16, _, _, _ = codec._compress_syms_p(
+                codec.params, x, codec._scale_table_dev)
+            y16 = np.asarray(y16)
+            has_escapes = np.any((y16 < -128) | (y16 > 127))
+            assert has_escapes == expect_escapes
+            recon_u8 = codec.decompress(out, as_uint8=True)
+            recon_f = codec.decompress(out)
+            assert recon_u8.dtype == np.uint8
+            # u8 output is exactly the PNG quantization of the float output
+            np.testing.assert_array_equal(
+                recon_u8,
+                np.clip(np.asarray(recon_f) * 255.0 + 0.5,
+                        0, 255).astype(np.uint8))
+    finally:
+        codec.params = base
+        codec._shape_cache.clear()
