@@ -151,14 +151,21 @@ def main(argv=None):
             outs = codec.compress_many([jnp.asarray(x) for x, _, _ in group],
                                        shape_bucket=a.shape_bucket)
             t_enc = (time.time() - t0) / max(len(group), 1)
-            for (x, source_bpp, path), out in zip(group, outs):
-                name = os.path.splitext(os.path.basename(path))[0]
-                hfc_path = os.path.join(a.output, name + ".hfc")
-                actual_bpp, theoretical_bpp = save_compressed(out, hfc_path)
-                t0 = time.time()
-                recon = codec.decompress(out, tile_latents=a.tile_latents,
-                                         as_uint8=True)
-                _finish(x, source_bpp, path, recon, t_enc, time.time() - t0,
+            bpps = [save_compressed(
+                out, os.path.join(
+                    a.output,
+                    os.path.splitext(os.path.basename(path))[0] + ".hfc"))
+                for (_, _, path), out in zip(group, outs)]
+            t0 = time.time()
+            if a.tile_latents:
+                recons = [codec.decompress(out, tile_latents=a.tile_latents,
+                                           as_uint8=True) for out in outs]
+            else:
+                recons = codec.decompress_many(outs, as_uint8=True)
+            t_dec = (time.time() - t0) / max(len(group), 1)
+            for (x, source_bpp, path), (actual_bpp, theoretical_bpp), recon \
+                    in zip(group, bpps, recons):
+                _finish(x, source_bpp, path, recon, t_enc, t_dec,
                         actual_bpp, theoretical_bpp)
         _write_metrics(a, rows, logger)
         return rows

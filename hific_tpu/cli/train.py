@@ -75,6 +75,12 @@ def parse_args(argv=None):
     p.add_argument("--resume_ckpt", default=None)
     p.add_argument("--experiments_dir", default="experiments")
     p.add_argument("--data_parallel", action="store_true")
+    p.add_argument("--n_slices", type=int, default=None,
+                   help="with --data_parallel: lay the mesh out as "
+                        "(replica=DCN slices, data=ICI chips) so gradient "
+                        "all-reduces ride ICI within slices and only one "
+                        "small reduction crosses DCN; default auto-detects "
+                        "slice topology")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--use_remat", action="store_true",
@@ -164,10 +170,18 @@ def main(argv=None):
     step_g = make_train_step_g(config, lpips_apply)
     step_d = make_train_step_d(config) if config.use_discriminator else None
     if a.data_parallel:
-        from hific_tpu.parallel import make_mesh, shard_train_step, shard_batch
+        from hific_tpu.parallel import (
+            infer_n_slices,
+            make_mesh,
+            make_mesh_2d,
+            shard_batch,
+            shard_train_step,
+        )
         from hific_tpu.parallel.mesh import replicate
 
-        mesh = make_mesh()
+        n_slices = a.n_slices or infer_n_slices(jax.devices())
+        mesh = make_mesh_2d(n_slices) if n_slices > 1 else make_mesh()
+        logger.info("Mesh: %s", mesh)
         state = replicate(state, mesh)
         step_g = shard_train_step(step_g, mesh)
         if step_d is not None:

@@ -368,6 +368,62 @@ class Codec:
         return np.asarray(self._gen_syms_p(
             self.params, jnp.asarray(y_nhwc, jnp.int16), mu, (h, w)))
 
+    def decompress_many(self, outs, as_uint8: bool = True) -> list:
+        """Pipelined batch decompression (mirror of compress_many): the
+        host rANS-decodes and uploads image i+1's symbols while the device
+        synthesizes stats / generates image i, via JAX async dispatch.
+
+        Per-image serial decode pays two full device round trips back to
+        back; here every upload/compute for later images is enqueued before
+        the host blocks on earlier images' downloads.
+        """
+        if not self._tables_built:
+            self.build_tables()
+        from hific_tpu.models.hific import N_LATENT_ESCAPES as K
+
+        # Stage 1: hyper rANS (host) + synth_stats (device, async) for all.
+        staged = []
+        for out in outs:
+            z_sym_np = self.factorized.decompress_symbols(
+                out.hyperlatents_encoded, out.batch_shape,
+                out.hyperlatent_spatial_shape, vectorize=self.vectorize)
+            z_sym = jnp.asarray(_to_nhwc_int(z_sym_np), jnp.int16)
+            mu, sigma, idx = self._synth_stats_p(self.params, z_sym,
+                                                 self._scale_table_dev)
+            staged.append((out, mu, idx))
+
+        # Stage 2: per image, block on idx, latent rANS (host), enqueue the
+        # generator; downloads of earlier reconstructions overlap later
+        # images' host work.
+        pending = []
+        for out, mu, idx in staged:
+            idx_np = _to_nchw(idx).astype(np.int32)
+            y_sym_np = self.conditional.decompress_symbols(
+                out.latents_encoded, idx_np, vectorize=self.vectorize)
+            y_nhwc = _to_nhwc_int(y_sym_np)
+            h, w = out.spatial_shape
+            if as_uint8:
+                y_flat = y_nhwc.reshape(-1)
+                y8 = np.clip(y_flat, -128, 127).astype(np.int8)
+                esc = np.nonzero(y_flat != y8.astype(np.int64))[0]
+                if len(esc) <= K:
+                    pos = np.full(K, -1, np.int32)
+                    val = np.zeros(K, np.int16)
+                    pos[: len(esc)] = esc
+                    val[: len(esc)] = y_flat[esc]
+                    recon = self._gen_packed_u8_p(
+                        self.params, jnp.asarray(y8.reshape(y_nhwc.shape)),
+                        jnp.asarray(pos), jnp.asarray(val), mu, (h, w))
+                else:
+                    recon = self._gen_syms_u8_p(
+                        self.params, jnp.asarray(y_nhwc, jnp.int16), mu,
+                        (h, w))
+            else:
+                recon = self._gen_syms_p(
+                    self.params, jnp.asarray(y_nhwc, jnp.int16), mu, (h, w))
+            pending.append(recon)
+        return [np.asarray(r) for r in pending]
+
     def reconstruct(self, x) -> np.ndarray:
         """Eval-mode reconstruction WITHOUT entropy coding (the reference's
         `--reconstruct` mode, compress.py:225): pad -> encode -> hard

@@ -14,7 +14,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-DATA_AXIS = "data"
+DATA_AXIS = "data"        # ICI: chips within a slice
+REPLICA_AXIS = "replica"  # DCN: across slices / pods
 
 
 def make_mesh(devices: Optional[Sequence] = None, axis_name: str = DATA_AXIS) -> Mesh:
@@ -23,13 +24,43 @@ def make_mesh(devices: Optional[Sequence] = None, axis_name: str = DATA_AXIS) ->
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def infer_n_slices(devices: Sequence) -> int:
+    """Number of distinct TPU slices among `devices` (PJRT exposes
+    slice_index on multi-slice systems; 1 elsewhere)."""
+    idx = {getattr(d, "slice_index", 0) for d in devices}
+    return max(len(idx), 1)
+
+
+def make_mesh_2d(n_slices: Optional[int] = None,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """(replica, data) mesh: the outer axis spans slices (DCN), the inner
+    axis spans chips within a slice (ICI).
+
+    Devices are ordered so that each mesh ROW is one slice: the per-step
+    gradient all-reduce then decomposes into a fast intra-slice ICI
+    reduce-scatter/all-gather plus a single small cross-slice (DCN)
+    reduction, which XLA inserts automatically from the mesh layout.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_slices is None:
+        n_slices = infer_n_slices(devices)
+    assert len(devices) % n_slices == 0, (
+        f"{len(devices)} devices not divisible into {n_slices} slices")
+    devices = sorted(devices,
+                     key=lambda d: (getattr(d, "slice_index", 0), d.id))
+    arr = np.asarray(devices).reshape(n_slices, -1)
+    return Mesh(arr, (REPLICA_AXIS, DATA_AXIS))
+
+
 def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis."""
-    return NamedSharding(mesh, P(axis_name))
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over ALL mesh axes (pure DP on a 1-D
+    or 2-D mesh alike: batch split n_slices * per_slice ways)."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
 
 
 def shard_batch(batch, mesh: Mesh):

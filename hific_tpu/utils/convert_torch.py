@@ -120,7 +120,24 @@ def convert_state_dict(sd: Dict, n_residual_blocks: int = 9,
              _conv(sd[f"{tp}.weight"]))
         _set(p, f"hyperprior/analysis_net/conv{i}/Conv_0/bias",
              sd[f"{tp}.bias"])
-    for net in ("synthesis_mu", "synthesis_std"):
+    if "Hyperprior.synthesis_DLMM_params.conv1.weight" in sd:
+        # DLMM variant (reference hyperprior.py:340-370, hyper.py:100-130):
+        # one synthesis head emitting C*K*3 mixture parameters.
+        tpfx = "Hyperprior.synthesis_DLMM_params"
+        jp = "hyperprior/synthesis_dlmm"
+        for i in (1, 2):
+            _set(p, f"{jp}/conv{i}/kernel", _convT(sd[f"{tpfx}.conv{i}.weight"]))
+            _set(p, f"{jp}/conv{i}/bias", sd[f"{tpfx}.conv{i}.bias"])
+        # conv3 is a STRIDE-1 ConvTranspose2d (flip + IO swap, like below)
+        _set(p, f"{jp}/conv3/Conv_0/kernel", _convT(sd[f"{tpfx}.conv3.weight"]))
+        _set(p, f"{jp}/conv3/Conv_0/bias", sd[f"{tpfx}.conv3.bias"])
+        _set(p, f"{jp}/conv_out/Conv_0/kernel",
+             _conv(sd[f"{tpfx}.conv_out.weight"]))
+        _set(p, f"{jp}/conv_out/Conv_0/bias", sd[f"{tpfx}.conv_out.bias"])
+        synthesis_nets = ()
+    else:
+        synthesis_nets = ("synthesis_mu", "synthesis_std")
+    for net in synthesis_nets:
         for i in (1, 2):  # ConvTranspose s2 layers
             tp = f"Hyperprior.{net}.conv{i}"
             _set(p, f"hyperprior/{net}/conv{i}/kernel", _convT(sd[f"{tp}.weight"]))

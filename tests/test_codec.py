@@ -257,3 +257,19 @@ def test_packed_wire_escape_path(tiny_codec):
     finally:
         codec.params = base
         codec._shape_cache.clear()
+
+
+def test_decompress_many_matches_serial(tiny_codec, tmp_path):
+    """Pipelined batch decode == per-image decode, exactly."""
+    rng = np.random.RandomState(5)
+    images = [jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+              for _ in range(3)]
+    outs = tiny_codec.compress_many(images)
+    batched = tiny_codec.decompress_many(outs, as_uint8=True)
+    for out, got in zip(outs, batched):
+        want = tiny_codec.decompress(out, as_uint8=True)
+        np.testing.assert_array_equal(got, want)
+    floats = tiny_codec.decompress_many(outs, as_uint8=False)
+    np.testing.assert_allclose(np.asarray(floats[0]),
+                               np.asarray(tiny_codec.decompress(outs[0])),
+                               atol=0)

@@ -104,3 +104,61 @@ def test_hyperprior_eval_forward_parity(ref_hyperprior_module):
         np.asarray(got.latent_means).transpose(0, 3, 1, 2), want_mu,
         atol=2e-4)
     np.testing.assert_allclose(float(got.total_qbpp), want_qbpp, rtol=1e-3)
+
+
+def test_hyperprior_dlmm_converted_parity(ref_hyperprior_module):
+    """DLMM variant through convert_state_dict: the synthesis head's
+    mixture parameters and the discretized logistic-mixture log-likelihood
+    match the reference (hyperprior.py:381-402)."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REFERENCE)
+    try:
+        from src.network import encoder as r_encoder
+        from src.network import generator as r_generator
+    finally:
+        sys.path.remove(REFERENCE)
+
+    from hific_tpu.models.density import dlmm_log_likelihood
+    from hific_tpu.models.hyperprior import HyperpriorDLMM
+    from hific_tpu.utils.convert_torch import convert_state_dict
+
+    torch.manual_seed(9)
+    C, N = 4, 8
+    r_enc = r_encoder.Encoder(image_dims=(3, 64, 64), batch_size=1, C=C)
+    r_gen = r_generator.Generator(input_dims=(C, 4, 4), batch_size=1, C=C,
+                                  n_residual_blocks=1)
+    r_dlmm = ref_hyperprior_module.HyperpriorDLMM(
+        bottleneck_capacity=C, hyperlatent_filters=N, mixture_components=4)
+    r_dlmm.eval()
+
+    sd = {}
+    for prefix, mod in [("Encoder", r_enc), ("Generator", r_gen),
+                        ("Hyperprior", r_dlmm)]:
+        sd.update({f"{prefix}.{k}": v.detach().clone()
+                   for k, v in mod.state_dict().items()})
+    params, _, _ = convert_state_dict(sd, n_residual_blocks=1)
+    hp = params["hyperprior"]
+    assert "synthesis_dlmm" in hp and "synthesis_mu" not in hp
+
+    y = torch.randn(1, C, 8, 8) * 2
+    with torch.no_grad():
+        z_q = torch.floor(r_dlmm.analysis_net(y) + 0.5)
+        want_params = r_dlmm.synthesis_DLMM_params(z_q).numpy()
+        y_q = torch.floor(y + 0.5)
+        want_ll = r_dlmm.latent_log_likelihood_DLMM(y_q, torch.from_numpy(
+            want_params)).numpy()
+
+    m = HyperpriorDLMM(C=C, hyperlatent_filters=N)
+    z_nhwc = jnp.asarray(z_q.numpy().transpose(0, 2, 3, 1))
+    got_params = m.apply({"params": hp}, z_nhwc,
+                         method=lambda self, t: self.synthesis_dlmm(t))
+    # ours emits NHWC with channel blocks (3, C, K); reference NCHW blocks
+    got_nchw = np.asarray(got_params).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got_nchw, want_params, atol=2e-4)
+
+    got_ll = dlmm_log_likelihood(
+        jnp.asarray(y_q.numpy().transpose(0, 2, 3, 1)), got_params)
+    np.testing.assert_allclose(
+        np.asarray(got_ll).transpose(0, 3, 1, 2), want_ll, atol=1e-4)

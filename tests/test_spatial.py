@@ -1,0 +1,77 @@
+"""Spatial partitioning over the virtual 8-device mesh: a SINGLE image's
+encoder/generator sharded in row bands with ppermute halo exchange must be
+EXACTLY equal to the single-device result (clamped windows, true-edge
+padding; see hific_tpu/parallel/spatial.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hific_tpu.config import mse_lpips_config
+from hific_tpu.models.hific import HiFiC
+from hific_tpu.parallel.mesh import make_mesh
+from hific_tpu.parallel.spatial import spatial_encode_fn, spatial_generate_fn
+
+TINY = dict(latent_channels=8, n_residual_blocks=1, hyperlatent_filters=16)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = mse_lpips_config(**TINY)
+    model = HiFiC(cfg)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "quantize": rng},
+                           jnp.zeros((1, 64, 64, 3)), training=True)
+    return model, variables["params"]
+
+
+def test_spatial_encoder_exact(model_and_params):
+    model, params = model_and_params
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+
+    enc = lambda p, t: model.apply({"params": p}, t,
+                                   method=HiFiC.encoder_forward)
+    sp_enc = spatial_encode_fn(enc, mesh, halo=64)
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 256, 128, 3),
+                    jnp.float32)
+    want = np.asarray(enc(params, x))
+    got = np.asarray(sp_enc(params, x))
+    np.testing.assert_array_equal(got, want)
+
+    # insufficient halo must NOT be exact (one-sided extent is 49 px)
+    sp_bad = spatial_encode_fn(enc, mesh, halo=16)
+    assert np.abs(np.asarray(sp_bad(params, x)) - want).max() > 1e-6
+
+
+def test_spatial_generator_exact(model_and_params):
+    model, params = model_and_params
+    mesh = make_mesh()
+
+    def gen(p, lat):
+        shape = (lat.shape[1] * 16, lat.shape[2] * 16)
+        return model.apply({"params": p}, lat, shape, method=HiFiC.generate)
+
+    sp_gen = spatial_generate_fn(gen, mesh, halo_latents=8)
+    lat = jnp.asarray(np.random.RandomState(1).randn(1, 32, 8, 8) * 2,
+                      jnp.float32)
+    want = np.asarray(gen(params, lat))
+    got = np.asarray(sp_gen(params, lat))
+    assert got.shape == want.shape == (1, 512, 128, 3)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_spatial_constraints():
+    from hific_tpu.parallel.spatial import make_spatial_map
+
+    mesh = make_mesh()
+    f = lambda p, t: t
+    sp = make_spatial_map(f, mesh, scale=1, halo=4, downsample=True)
+    with pytest.raises(AssertionError, match="not divisible"):
+        sp({}, jnp.zeros((1, 10, 4, 1)))
+    sp_big_halo = make_spatial_map(f, mesh, scale=1, halo=64,
+                                   downsample=True)
+    with pytest.raises(AssertionError, match="too small"):
+        sp_big_halo({}, jnp.zeros((1, 16, 4, 1)))

@@ -132,3 +132,33 @@ def test_data_parallel_step_matches_single_device():
     for a, b in zip(jax.tree_util.tree_leaves(state_s.params),
                     jax.tree_util.tree_leaves(state_p.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_2d_mesh_step_matches_single_device():
+    """(replica=2, data=4) mesh — the multi-slice DCNxICI layout — must
+    compute the same step as a single device (batch sharded over both
+    axes, params replicated, all-reduce decomposed by XLA)."""
+    from hific_tpu.parallel import make_mesh_2d, shard_train_step, shard_batch
+    from hific_tpu.parallel.mesh import REPLICA_AXIS, DATA_AXIS, replicate
+
+    assert len(jax.devices()) == 8
+    cfg = mse_lpips_config(**{**TINY, "batch_size": 8})
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    x = _batch(b=8)
+
+    step_single = jax.jit(make_train_step_g(cfg))
+    state_s, diag_s = step_single(state, x)
+
+    mesh = make_mesh_2d(n_slices=2)
+    assert mesh.axis_names == (REPLICA_AXIS, DATA_AXIS)
+    assert mesh.devices.shape == (2, 4)
+    step_dp = shard_train_step(make_train_step_g(cfg), mesh,
+                               donate_state=False)
+    state_p, diag_p = step_dp(replicate(state, mesh), shard_batch(x, mesh))
+
+    np.testing.assert_allclose(
+        float(diag_s["weighted_compression_loss"]),
+        float(diag_p["weighted_compression_loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(state_s.params),
+                    jax.tree_util.tree_leaves(state_p.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
