@@ -163,7 +163,7 @@ def tiled_upsample_apply(fn: Callable, x, scale: int, out_channels: int = 3,
                           (0, 0)), mode="reflect")
         pads = [p - s for p, s in zip(pads, step)]
 
-    out = np.zeros((1, h * scale, w * scale, out_channels), np.float32)
+    out = None  # dtype follows fn's output (float32 or uint8 wire format)
     ext = tile + 2 * halo
     for ti in range(n_th):
         for tj in range(n_tw):
@@ -174,6 +174,9 @@ def tiled_upsample_apply(fn: Callable, x, scale: int, out_channels: int = 3,
             core = np.asarray(
                 tile_out[:, halo * scale : (halo + tile) * scale,
                          halo * scale : (halo + tile) * scale, :])
+            if out is None:
+                out = np.zeros((1, h * scale, w * scale, out_channels),
+                               core.dtype)
             ch = min(tile, h - y0) * scale
             cw = min(tile, w - x0) * scale
             out[:, y0 * scale : y0 * scale + ch,
