@@ -141,6 +141,51 @@ class LPIPS(nn.Module):
         return val
 
 
+class Dist2LogitLayer(nn.Module):
+    """Maps two per-image LPIPS distances to a [0,1] preference score
+    (reference networks_basic.py:111-126): 1x1 conv MLP over the feature
+    vector (d0, d1, d0-d1, d0/(d1+eps), d1/(d0+eps))."""
+
+    chn_mid: int = 32
+    use_sigmoid: bool = True
+
+    @nn.compact
+    def __call__(self, d0, d1, eps: float = 0.1):
+        x = jnp.concatenate(
+            [d0, d1, d0 - d1, d0 / (d1 + eps), d1 / (d0 + eps)], axis=-1)
+        x = nn.Dense(self.chn_mid, name="fc0")(x)   # 1x1 convs == dense
+        x = jax.nn.leaky_relu(x, 0.2)
+        x = nn.Dense(self.chn_mid, name="fc1")(x)
+        x = jax.nn.leaky_relu(x, 0.2)
+        x = nn.Dense(1, name="fc2")(x)
+        return jax.nn.sigmoid(x) if self.use_sigmoid else x
+
+
+def bce_ranking_loss(logit, judge):
+    """BCERankingLoss (networks_basic.py:128-138): binary cross-entropy of
+    the Dist2Logit preference against human 2AFC judgements in [-1, 1]
+    (mapped to [0,1]). `logit` is the SIGMOID output, as in the reference
+    (torch.nn.BCELoss on probabilities)."""
+    per = (judge + 1.0) / 2.0
+    eps = 1e-12
+    return -jnp.mean(per * jnp.log(logit + eps)
+                     + (1.0 - per) * jnp.log(1.0 - logit + eps))
+
+
+def load_torch_dist2logit_weights(params, torch_state):
+    """Map the reference Dist2LogitLayer state_dict (model.{0,2,4} 1x1
+    convs) onto Dist2LogitLayer params."""
+    out = jax.tree_util.tree_map(np.asarray, params)
+    for ours, theirs in [("fc0", "model.0"), ("fc1", "model.2"),
+                         ("fc2", "model.4")]:
+        w = np.asarray(torch_state[f"{theirs}.weight"])  # (O, I, 1, 1)
+        b = np.asarray(torch_state[f"{theirs}.bias"])
+        out[ours]["kernel"] = w.reshape(w.shape[0], w.shape[1]).T.astype(
+            np.float32)
+        out[ours]["bias"] = b.astype(np.float32)
+    return jax.tree_util.tree_map(jnp.asarray, out)
+
+
 # --------------------------------------------------------------------------
 # Weight loading
 # --------------------------------------------------------------------------

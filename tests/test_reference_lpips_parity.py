@@ -239,3 +239,41 @@ def test_packaged_lin_assets_match_shipped_pth():
             for k in range(5):
                 want = sd[f"lin{k}.model.1.weight"].numpy().reshape(-1)
                 np.testing.assert_array_equal(got[f"lin{k}"], want)
+
+
+def test_dist2logit_and_bce_ranking_parity(ref_lpips):
+    """LPIPS training extras (2AFC ranking head): Dist2LogitLayer +
+    BCERankingLoss match the reference (networks_basic.py:111-138)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hific_tpu.models.lpips import (
+        Dist2LogitLayer,
+        bce_ranking_loss,
+        load_torch_dist2logit_weights,
+    )
+
+    torch.manual_seed(6)
+    r_loss = ref_lpips.BCERankingLoss(chn_mid=32)
+    r_loss.eval()
+
+    rng = np.random.RandomState(7)
+    d0 = rng.uniform(0.01, 1.0, size=(6, 1, 1, 1)).astype(np.float32)
+    d1 = rng.uniform(0.01, 1.0, size=(6, 1, 1, 1)).astype(np.float32)
+    judge = rng.choice([-1.0, 0.0, 1.0], size=(6, 1, 1, 1)).astype(
+        np.float32)
+
+    with torch.no_grad():
+        want_loss = float(r_loss(torch.from_numpy(d0), torch.from_numpy(d1),
+                                 torch.from_numpy(judge)))
+        want_logit = r_loss.logit.numpy()
+
+    layer = Dist2LogitLayer(chn_mid=32)
+    p = layer.init(jax.random.PRNGKey(0), jnp.asarray(d0), jnp.asarray(d1))[
+        "params"]
+    p = load_torch_dist2logit_weights(p, r_loss.net.state_dict())
+    got_logit = layer.apply({"params": p}, jnp.asarray(d0), jnp.asarray(d1))
+    np.testing.assert_allclose(np.asarray(got_logit).reshape(-1),
+                               want_logit.reshape(-1), atol=1e-6)
+    got_loss = float(bce_ranking_loss(got_logit, jnp.asarray(judge)))
+    np.testing.assert_allclose(got_loss, want_loss, rtol=1e-5)
