@@ -37,6 +37,11 @@ def parse_args(argv=None):
     p.add_argument("--no_metrics", action="store_true")
     p.add_argument("--scalar_rans", action="store_true",
                    help="single-lane rANS (smaller files, slower)")
+    p.add_argument("--coder_threads", type=int, default=1,
+                   help="lane-shard each rANS payload into this many "
+                        "independent streams coded in parallel host threads "
+                        "(writes container v2; ~zero size overhead, not "
+                        "readable by the reference implementation)")
     p.add_argument("--tile_latents", type=int, default=None,
                    help="decode the generator on latent tiles of this size "
                         "(bounded memory for very large images)")
@@ -114,7 +119,8 @@ def main(argv=None):
     params = checkpoints.restore_params(ckpt_path, config,
                                         jax.random.PRNGKey(a.seed))
 
-    codec = Codec(config, params, vectorize=not a.scalar_rans)
+    codec = Codec(config, params, vectorize=not a.scalar_rans,
+                  coder_threads=a.coder_threads)
     logger.info("Building prior probability tables...")
     codec.build_tables()
 

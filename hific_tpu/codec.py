@@ -48,10 +48,16 @@ ENC_SCALE = 16
 class Codec:
     """Evaluation-mode compression/decompression engine."""
 
-    def __init__(self, config: Config, params, vectorize: bool = True):
+    def __init__(self, config: Config, params, vectorize: bool = True,
+                 coder_threads: int = 1):
+        """coder_threads > 1 lane-shards each rANS payload into that many
+        independent streams coded in parallel host threads (container v2;
+        ~zero size overhead, not reference-interoperable). Decode reads the
+        shard count from the payload, so any codec can decode any file."""
         self.config = config
         self.params = params
         self.vectorize = vectorize
+        self.coder_threads = max(1, int(coder_threads))
         model = HiFiC(config)
         self._model = model
 
@@ -291,13 +297,15 @@ class Codec:
         latent_bpp = latent_bits / n_pixels
 
         z_encoded, hyper_coding_shape = self.factorized.compress_symbols(
-            z_sym_np, vectorize=self.vectorize)
+            z_sym_np, vectorize=self.vectorize, shards=self.coder_threads)
         y_encoded, latent_coding_shape = self.conditional.compress_symbols(
-            y_sym_np, idx_np, vectorize=self.vectorize)
+            y_sym_np, idx_np, vectorize=self.vectorize,
+            shards=self.coder_threads)
 
         return CompressionOutput(
             hyperlatents_encoded=z_encoded,
             latents_encoded=y_encoded,
+            sharded=self.coder_threads > 1,
             hyperlatent_spatial_shape=tuple(hyper_spatial),
             spatial_shape=spatial_shape,
             hyper_coding_shape=tuple(hyper_coding_shape),
@@ -329,14 +337,16 @@ class Codec:
             self.build_tables()
         z_sym_np = self.factorized.decompress_symbols(
             out.hyperlatents_encoded, out.batch_shape,
-            out.hyperlatent_spatial_shape, vectorize=self.vectorize)
+            out.hyperlatent_spatial_shape, vectorize=self.vectorize,
+            sharded=out.sharded)
         z_sym = jnp.asarray(_to_nhwc_int(z_sym_np), jnp.int16)
         # Same jitted program as the encoder side -> identical indices.
         mu, sigma, idx = self._synth_stats_p(self.params, z_sym,
                                              self._scale_table_dev)
         idx_np = _to_nchw(idx).astype(np.int32)
         y_sym_np = self.conditional.decompress_symbols(
-            out.latents_encoded, idx_np, vectorize=self.vectorize)
+            out.latents_encoded, idx_np, vectorize=self.vectorize,
+            sharded=out.sharded)
         y_nhwc = _to_nhwc_int(y_sym_np)
 
         h, w = out.spatial_shape
@@ -396,7 +406,8 @@ class Codec:
         for out in outs:
             z_sym_np = self.factorized.decompress_symbols(
                 out.hyperlatents_encoded, out.batch_shape,
-                out.hyperlatent_spatial_shape, vectorize=self.vectorize)
+                out.hyperlatent_spatial_shape, vectorize=self.vectorize,
+                sharded=out.sharded)
             z_sym = jnp.asarray(_to_nhwc_int(z_sym_np), jnp.int16)
             mu, sigma, idx = self._synth_stats_p(self.params, z_sym,
                                                  self._scale_table_dev)
@@ -409,7 +420,8 @@ class Codec:
         for out, mu, idx in staged:
             idx_np = _to_nchw(idx).astype(np.int32)
             y_sym_np = self.conditional.decompress_symbols(
-                out.latents_encoded, idx_np, vectorize=self.vectorize)
+                out.latents_encoded, idx_np, vectorize=self.vectorize,
+                sharded=out.sharded)
             y_nhwc = _to_nhwc_int(y_sym_np)
             h, w = out.spatial_shape
             if as_uint8:
@@ -516,12 +528,14 @@ class Codec:
                                      latent_bits / n_pixels)
 
             z_encoded, hyper_coding_shape = self.factorized.compress_symbols(
-                z_sym_np, vectorize=self.vectorize)
+                z_sym_np, vectorize=self.vectorize, shards=self.coder_threads)
             y_encoded, latent_coding_shape = self.conditional.compress_symbols(
-                y_sym_np, idx_np, vectorize=self.vectorize)
+                y_sym_np, idx_np, vectorize=self.vectorize,
+                shards=self.coder_threads)
             outputs.append(CompressionOutput(
                 hyperlatents_encoded=z_encoded,
                 latents_encoded=y_encoded,
+                sharded=self.coder_threads > 1,
                 hyperlatent_spatial_shape=tuple(hyper_spatial),
                 spatial_shape=spatial_shape,
                 hyper_coding_shape=tuple(hyper_coding_shape),

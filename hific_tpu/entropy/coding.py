@@ -29,6 +29,7 @@ matters):
   practice the two formats are bit-identical.
 """
 
+from concurrent.futures import ThreadPoolExecutor
 from typing import Tuple
 
 import numpy as np
@@ -167,48 +168,26 @@ def _encode_overflow_position(msg, overflow_i, widths_i, of_mask):
                      OVERFLOW_WIDTH, of_mask)
 
 
-def encode_indexed(symbols, indices, cdf, cdf_length, cdf_offset, precision,
-                   use_native: bool = True) -> Tuple[np.ndarray, tuple]:
-    """Vectorized encode of (N,C,H,W) int symbols. Returns (uint32 stream,
-    coding_shape). Dispatches to the C++ kernel when built (identical
-    bitstream); set use_native=False or HIFIC_TPU_NATIVE=0 for pure numpy."""
-    symbols = np.asarray(symbols)
-    indices = np.asarray(indices)
-    cdf = np.asarray(cdf, dtype=np.uint32)
-    n, c = symbols.shape[:2]
+def _encode_layout(sym_l, idx_l, cdf, cdf_length, cdf_offset, precision,
+                   use_native: bool) -> np.ndarray:
+    """Encode laid-out (n_pos, n_lanes) symbols/indices to one uint32 stream.
 
+    Shared core of `encode_indexed` and the lane-sharded variant; the
+    bitstream depends only on the laid-out arrays, so a contiguous lane
+    subset encodes to exactly the stream an independent coder would emit.
+    """
     if use_native:
         from hific_tpu.entropy import native
 
         if native.available():
-            if n == 1:
-                sym_l = _lane_layout(symbols.astype(np.int32))
-                idx_l = _lane_layout(indices.astype(np.int32))
-                coding_shape = (c, 1, 1)
-            else:
-                sym_l = symbols.reshape(n, -1).astype(np.int32)
-                idx_l = indices.reshape(n, -1).astype(np.int32)
-                coding_shape = symbols.shape[1:]
-            encoded = native.encode_lanes(sym_l, idx_l, cdf,
-                                          np.asarray(cdf_length, np.int32),
-                                          np.asarray(cdf_offset, np.int32),
-                                          precision)
-            return encoded, coding_shape
-    values, overflow, max_value = _prepare(symbols, indices, cdf, cdf_length,
-                                           cdf_offset)
-
-    if n == 1:
-        values_l = _lane_layout(values)          # (P, C)
-        overflow_l = _lane_layout(overflow)
-        indices_l = _lane_layout(indices.astype(np.int64))
-        max_value_l = _lane_layout(max_value)
-        coding_shape = (c, 1, 1)
-    else:
-        values_l = values.reshape(n, -1)         # (N, C*H*W)
-        overflow_l = overflow.reshape(n, -1)
-        indices_l = indices.reshape(n, -1).astype(np.int64)
-        max_value_l = max_value.reshape(n, -1)
-        coding_shape = symbols.shape[1:]
+            return native.encode_lanes(sym_l.astype(np.int32),
+                                       idx_l.astype(np.int32), cdf,
+                                       np.asarray(cdf_length, np.int32),
+                                       np.asarray(cdf_offset, np.int32),
+                                       precision)
+    values_l, overflow_l, max_value_l = _prepare(sym_l, idx_l, cdf,
+                                                 cdf_length, cdf_offset)
+    indices_l = idx_l.astype(np.int64)
 
     # Fully vectorized start/freq for the main symbols.
     cdf_rows = cdf[indices_l]                    # (P, lanes, L)
@@ -225,46 +204,46 @@ def encode_indexed(symbols, indices, cdf, cdf_length, cdf_offset, precision,
             _encode_overflow_position(msg, overflow_l[i], widths[i], of_mask)
         ans.rans_push(msg, starts[i], freqs[i], precision)
 
-    return ans.flatten_message(msg), coding_shape
+    return ans.flatten_message(msg)
 
 
-def decode_indexed(encoded, indices, cdf, cdf_length, cdf_offset, precision,
-                   inverse_table=None, use_native: bool = True) -> np.ndarray:
-    """Vectorized decode; `indices` must match the encoder's. Returns int32
-    symbols shaped like `indices`."""
+def _layout(symbols, indices):
+    """(N,C,H,W) -> laid-out (n_pos, n_lanes) pair + coding_shape."""
+    n, c = symbols.shape[:2]
+    if n == 1:
+        return (_lane_layout(symbols), _lane_layout(indices), (c, 1, 1))
+    return (symbols.reshape(n, -1), indices.reshape(n, -1), symbols.shape[1:])
+
+
+def encode_indexed(symbols, indices, cdf, cdf_length, cdf_offset, precision,
+                   use_native: bool = True) -> Tuple[np.ndarray, tuple]:
+    """Vectorized encode of (N,C,H,W) int symbols. Returns (uint32 stream,
+    coding_shape). Dispatches to the C++ kernel when built (identical
+    bitstream); set use_native=False or HIFIC_TPU_NATIVE=0 for pure numpy."""
+    symbols = np.asarray(symbols)
     indices = np.asarray(indices)
     cdf = np.asarray(cdf, dtype=np.uint32)
-    if inverse_table is None:
-        inverse_table = build_inverse_table(cdf, cdf_length, precision)
+    sym_l, idx_l, coding_shape = _layout(symbols, indices)
+    return (_encode_layout(sym_l, idx_l, cdf, cdf_length, cdf_offset,
+                           precision, use_native), coding_shape)
 
-    n, c = indices.shape[:2]
 
+def _decode_layout(encoded, idx_l, cdf, cdf_length, cdf_offset, precision,
+                   inverse_table, use_native: bool) -> np.ndarray:
+    """Decode one stream against laid-out (n_pos, n_lanes) indices."""
     if use_native:
         from hific_tpu.entropy import native
 
         if native.available():
-            if n == 1:
-                idx_l = _lane_layout(indices.astype(np.int32))
-            else:
-                idx_l = indices.reshape(n, -1).astype(np.int32)
-            decoded = native.decode_lanes(
-                np.asarray(encoded, np.uint32), idx_l, cdf,
+            return native.decode_lanes(
+                np.asarray(encoded, np.uint32), idx_l.astype(np.int32), cdf,
                 np.asarray(cdf_length, np.int32),
                 np.asarray(cdf_offset, np.int32),
                 np.asarray(inverse_table, np.int32), precision)
-            if n == 1:
-                return _lane_unlayout(decoded, indices.shape).astype(np.int32)
-            return decoded.reshape(indices.shape).astype(np.int32)
-    if n == 1:
-        indices_l = _lane_layout(indices.astype(np.int64))
-        lane_shape = (indices_l.shape[1],)
-    else:
-        indices_l = indices.reshape(n, -1).astype(np.int64)
-        lane_shape = (indices_l.shape[1],)
-
+    indices_l = idx_l.astype(np.int64)
     max_values = cdf_length[indices_l].astype(np.int64) - 2
     offsets = cdf_offset[indices_l].astype(np.int64)
-    msg = ans.unflatten_message(encoded, lane_shape)
+    msg = ans.unflatten_message(encoded, (indices_l.shape[1],))
 
     decoded = np.empty_like(indices_l)
     ow = OVERFLOW_WIDTH
@@ -295,7 +274,113 @@ def decode_indexed(encoded, indices, cdf, cdf_length, cdf_offset, precision,
                                 of_value + max_value_i[of_mask])
             value[of_mask] = of_value
         decoded[i] = value + offsets[i]
+    return decoded
 
+
+def decode_indexed(encoded, indices, cdf, cdf_length, cdf_offset, precision,
+                   inverse_table=None, use_native: bool = True) -> np.ndarray:
+    """Vectorized decode; `indices` must match the encoder's. Returns int32
+    symbols shaped like `indices`."""
+    indices = np.asarray(indices)
+    cdf = np.asarray(cdf, dtype=np.uint32)
+    if inverse_table is None:
+        inverse_table = build_inverse_table(cdf, cdf_length, precision)
+
+    n = indices.shape[0]
+    idx_l = _lane_layout(indices) if n == 1 else indices.reshape(n, -1)
+    decoded = _decode_layout(encoded, idx_l, cdf, cdf_length, cdf_offset,
+                             precision, inverse_table, use_native)
+    if n == 1:
+        return _lane_unlayout(decoded, indices.shape).astype(np.int32)
+    return decoded.reshape(indices.shape).astype(np.int32)
+
+
+# --------------------------------------------------------------------------
+# Lane-sharded multithreaded coding (container v2 payloads).
+#
+# The rANS lanes (channels for B=1) are independent except for the shared
+# spill stack, so splitting them into K contiguous groups — each coded to
+# its own stream — parallelizes encode AND decode across host threads (the
+# C++ kernel runs outside the GIL) with ~zero size overhead: the per-lane
+# head words dominate the flush either way. Payload layout:
+#
+#   uint32 K | uint32 len_0..len_{K-1} | stream_0 | ... | stream_{K-1}
+#
+# Each stream_k is byte-identical to what `encode_indexed` would emit for
+# that lane subset alone (tested), so shard boundaries are seekable entry
+# points — a decoder can also decode any channel group without the rest.
+# --------------------------------------------------------------------------
+
+
+def _lane_splits(n_lanes: int, shards: int):
+    shards = max(1, min(int(shards), n_lanes))
+    bounds = np.linspace(0, n_lanes, shards + 1).astype(np.int64)
+    return [(int(bounds[k]), int(bounds[k + 1])) for k in range(shards)]
+
+
+def encode_indexed_sharded(symbols, indices, cdf, cdf_length, cdf_offset,
+                           precision, shards: int, use_native: bool = True
+                           ) -> Tuple[np.ndarray, tuple]:
+    """Encode with lanes sharded into `shards` independent streams, coded in
+    parallel host threads. Returns (self-describing uint32 payload,
+    coding_shape). Not bit-compatible with the reference coder — opt-in via
+    the container v2 flag."""
+    symbols = np.asarray(symbols)
+    indices = np.asarray(indices)
+    cdf = np.asarray(cdf, dtype=np.uint32)
+    sym_l, idx_l, coding_shape = _layout(symbols, indices)
+    splits = _lane_splits(sym_l.shape[1], shards)
+
+    def _one(span):
+        lo, hi = span
+        return _encode_layout(np.ascontiguousarray(sym_l[:, lo:hi]),
+                              np.ascontiguousarray(idx_l[:, lo:hi]),
+                              cdf, cdf_length, cdf_offset, precision,
+                              use_native)
+
+    if len(splits) == 1:
+        streams = [_one(splits[0])]
+    else:
+        with ThreadPoolExecutor(max_workers=len(splits)) as pool:
+            streams = list(pool.map(_one, splits))
+    header = np.array([len(streams)] + [len(s) for s in streams], np.uint32)
+    return np.concatenate([header] + streams), coding_shape
+
+
+def decode_indexed_sharded(encoded, indices, cdf, cdf_length, cdf_offset,
+                           precision, inverse_table=None,
+                           use_native: bool = True) -> np.ndarray:
+    """Decode a sharded payload (shard count is read from the payload; the
+    lane split is re-derived from it, so any thread count can decode any
+    shard count)."""
+    indices = np.asarray(indices)
+    cdf = np.asarray(cdf, dtype=np.uint32)
+    if inverse_table is None:
+        inverse_table = build_inverse_table(cdf, cdf_length, precision)
+
+    encoded = np.asarray(encoded, np.uint32)
+    k = int(encoded[0])
+    lens = encoded[1 : 1 + k].astype(np.int64)
+    offs = np.concatenate([[1 + k], 1 + k + np.cumsum(lens)]).astype(np.int64)
+
+    n = indices.shape[0]
+    idx_l = _lane_layout(indices) if n == 1 else indices.reshape(n, -1)
+    splits = _lane_splits(idx_l.shape[1], k)
+    assert len(splits) == k, "shard count exceeds lane count"
+
+    def _one(args):
+        (lo, hi), stream = args
+        return _decode_layout(stream, np.ascontiguousarray(idx_l[:, lo:hi]),
+                              cdf, cdf_length, cdf_offset, precision,
+                              inverse_table, use_native)
+
+    jobs = [(splits[i], encoded[offs[i]:offs[i + 1]]) for i in range(k)]
+    if k == 1:
+        parts = [_one(jobs[0])]
+    else:
+        with ThreadPoolExecutor(max_workers=k) as pool:
+            parts = list(pool.map(_one, jobs))
+    decoded = np.concatenate(parts, axis=1)
     if n == 1:
         return _lane_unlayout(decoded, indices.shape).astype(np.int32)
     return decoded.reshape(indices.shape).astype(np.int32)

@@ -9,6 +9,13 @@ Format (byte-compatible with the reference, compression_utils.py:248-371):
   4-byte magic 0x46 0xE2 0x84 0x92
   uint32 byte length + raw uint32 rANS words, hyperlatents; magic
   uint32 byte length + raw uint32 rANS words, latents; magic
+
+Version 2 (this framework only, written when the streams are lane-sharded
+for multithreaded coding): the file is prefixed with the 6-byte magic
+0xFF 0xFF "HFC2"; the body is identical but each rANS payload is a
+self-describing sharded payload (see entropy/coding.py). A v1 file can
+never start with 0xFFFF — that would be a >4-megapixel-TALL hyperlatent
+grid — so the reader distinguishes the versions from the first two bytes.
 """
 
 import os
@@ -17,6 +24,7 @@ from typing import NamedTuple, Tuple
 import numpy as np
 
 MAGIC = b"\x46\xE2\x84\x92"
+V2_MAGIC = b"\xff\xffHFC2"
 
 
 class CompressionOutput(NamedTuple):
@@ -27,6 +35,8 @@ class CompressionOutput(NamedTuple):
     hyper_coding_shape: Tuple[int, ...]
     latent_coding_shape: Tuple[int, ...]
     batch_shape: int
+    # v2: payloads are lane-sharded (multithreaded coding)
+    sharded: bool = False
     # reporting (not serialized)
     hyperlatent_bits: float = 0.0
     latent_bits: float = 0.0
@@ -49,6 +59,8 @@ def _read_u16(f, n):
 def save_compressed(out: CompressionOutput, path: str) -> Tuple[float, float]:
     """Write the container; returns (actual_bpp, theoretical_bpp)."""
     with open(path, "wb") as f:
+        if out.sharded:
+            f.write(V2_MAGIC)
         _write_u16(f, out.hyperlatent_spatial_shape)
         _write_u16(f, out.spatial_shape)
         _write_u16(f, out.hyper_coding_shape)
@@ -66,6 +78,9 @@ def save_compressed(out: CompressionOutput, path: str) -> Tuple[float, float]:
 
 def load_compressed(path: str) -> CompressionOutput:
     with open(path, "rb") as f:
+        sharded = f.read(len(V2_MAGIC)) == V2_MAGIC
+        if not sharded:
+            f.seek(0)
         hyper_spatial = _read_u16(f, 2)
         spatial = _read_u16(f, 2)
         hyper_coding = _read_u16(f, 3)
@@ -85,4 +100,5 @@ def load_compressed(path: str) -> CompressionOutput:
         hyper_coding_shape=hyper_coding,
         latent_coding_shape=latent_coding,
         batch_shape=batch,
+        sharded=sharded,
     )

@@ -82,12 +82,18 @@ class FactorizedEntropyModel:
         return self.compress_symbols(np.floor(z + 0.5).astype(np.int32),
                                      vectorize)
 
-    def compress_symbols(self, symbols: np.ndarray, vectorize: bool = True
-                         ) -> Tuple[np.ndarray, tuple]:
-        """Pre-quantized integer symbols (N,C,H,W) -> stream."""
+    def compress_symbols(self, symbols: np.ndarray, vectorize: bool = True,
+                         shards: int = 1) -> Tuple[np.ndarray, tuple]:
+        """Pre-quantized integer symbols (N,C,H,W) -> stream. shards > 1
+        codes lane groups in parallel threads (container v2 payload)."""
         assert self.tables is not None, "call build_tables() first"
         symbols = np.asarray(symbols, np.int32)
         indices = self._indices(symbols.shape[0], symbols.shape[2:])
+        if shards > 1:
+            assert vectorize, "sharded coding requires the vectorized path"
+            return coding.encode_indexed_sharded(
+                symbols, indices, self.tables.cdf, self.tables.cdf_length,
+                self.tables.cdf_offset, self.precision, shards)
         enc = coding.encode_indexed if vectorize else coding.encode_indexed_scalar
         encoded, coding_shape = enc(symbols, indices, self.tables.cdf,
                                     self.tables.cdf_length,
@@ -100,10 +106,15 @@ class FactorizedEntropyModel:
                                        vectorize).astype(np.float32)
 
     def decompress_symbols(self, encoded: np.ndarray, batch: int,
-                           broadcast_shape, vectorize: bool = True
-                           ) -> np.ndarray:
+                           broadcast_shape, vectorize: bool = True,
+                           sharded: bool = False) -> np.ndarray:
         assert self.tables is not None
         indices = self._indices(batch, broadcast_shape)
+        if sharded:
+            return coding.decode_indexed_sharded(
+                encoded, indices, self.tables.cdf, self.tables.cdf_length,
+                self.tables.cdf_offset, self.precision,
+                inverse_table=self.tables.inverse)
         dec = coding.decode_indexed if vectorize else coding.decode_indexed_scalar
         return dec(encoded, indices, self.tables.cdf,
                    self.tables.cdf_length, self.tables.cdf_offset,
@@ -168,10 +179,16 @@ class ConditionalEntropyModel:
             self._indices(scales), vectorize)
 
     def compress_symbols(self, symbols: np.ndarray, indices: np.ndarray,
-                         vectorize: bool = True) -> Tuple[np.ndarray, tuple]:
+                         vectorize: bool = True, shards: int = 1
+                         ) -> Tuple[np.ndarray, tuple]:
         """Pre-quantized symbols + precomputed scale-table indices."""
         symbols = np.asarray(symbols, np.int32)
         indices = np.asarray(indices, np.int32)
+        if shards > 1:
+            assert vectorize, "sharded coding requires the vectorized path"
+            return coding.encode_indexed_sharded(
+                symbols, indices, self.tables.cdf, self.tables.cdf_length,
+                self.tables.cdf_offset, self.precision, shards)
         enc = coding.encode_indexed if vectorize else coding.encode_indexed_scalar
         encoded, coding_shape = enc(symbols, indices, self.tables.cdf,
                                     self.tables.cdf_length,
@@ -185,8 +202,14 @@ class ConditionalEntropyModel:
         return symbols.astype(np.float32) + means
 
     def decompress_symbols(self, encoded: np.ndarray, indices: np.ndarray,
-                           vectorize: bool = True) -> np.ndarray:
+                           vectorize: bool = True, sharded: bool = False
+                           ) -> np.ndarray:
         indices = np.asarray(indices, np.int32)
+        if sharded:
+            return coding.decode_indexed_sharded(
+                encoded, indices, self.tables.cdf, self.tables.cdf_length,
+                self.tables.cdf_offset, self.precision,
+                inverse_table=self.tables.inverse)
         dec = coding.decode_indexed if vectorize else coding.decode_indexed_scalar
         return dec(encoded, indices, self.tables.cdf,
                    self.tables.cdf_length, self.tables.cdf_offset,

@@ -273,3 +273,35 @@ def test_decompress_many_matches_serial(tiny_codec, tmp_path):
     np.testing.assert_allclose(np.asarray(floats[0]),
                                np.asarray(tiny_codec.decompress(outs[0])),
                                atol=0)
+
+
+def test_coder_threads_container_v2_roundtrip(tiny_codec, tmp_path):
+    """Multithreaded (lane-sharded) coding: v2 file round-trips to exactly
+    the v1 reconstruction, a v2 codec still reads v1 files, and the size
+    overhead vs v1 is only the 6-byte magic + per-shard length words."""
+    from hific_tpu.codec import Codec
+
+    rng = np.random.RandomState(7)
+    x = rng.rand(1, 80, 96, 3).astype(np.float32)
+
+    threaded = Codec(tiny_codec.config, tiny_codec.params, coder_threads=4)
+    threaded.factorized.tables = tiny_codec.factorized.tables
+    threaded.factorized.medians = tiny_codec.factorized.medians
+    threaded._tables_built = True
+
+    p1 = os.path.join(tmp_path, "v1.hfc")
+    p2 = os.path.join(tmp_path, "v2.hfc")
+    tiny_codec.compress_file(x, p1)
+    threaded.compress_file(x, p2)
+
+    recon_v1 = tiny_codec.decompress_file(p1)
+    recon_v2 = threaded.decompress_file(p2)
+    np.testing.assert_array_equal(recon_v1, recon_v2)
+
+    # v2 codec reads v1 files and vice versa (shardedness is in the file).
+    np.testing.assert_array_equal(threaded.decompress_file(p1), recon_v1)
+    np.testing.assert_array_equal(tiny_codec.decompress_file(p2), recon_v1)
+
+    # 6-byte magic + (1 + K) uint32 header words per payload, K=4, 2 payloads.
+    overhead = 6 + 2 * 4 * (1 + 4)
+    assert os.path.getsize(p2) <= os.path.getsize(p1) + overhead

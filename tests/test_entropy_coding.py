@@ -139,3 +139,123 @@ def test_rans_core_push_pop():
         cf, complete = ans.rans_pop(msg2, 4)
         np.testing.assert_array_equal(cf, s)
         complete(cf, np.ones(lanes, np.uint64))
+
+
+# --------------------------------------------------------------------------
+# Lane-sharded multithreaded coding (container v2 payloads).
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shards", [2, 3, 8])
+@pytest.mark.parametrize("use_native", [True, False])
+def test_sharded_roundtrip(shards, use_native):
+    from hific_tpu.entropy.coding import (decode_indexed_sharded,
+                                          encode_indexed_sharded)
+
+    rng = np.random.RandomState(10 + shards)
+    n_rows = 10
+    cdf, lengths, offsets = _random_tables(n_rows, rng)
+    shape = (1, 11, 6, 5)  # 11 lanes -> uneven shard splits
+    indices = rng.randint(0, n_rows, size=shape).astype(np.int32)
+    symbols = _random_symbols(shape, indices, lengths, offsets, rng, 0.08)
+
+    encoded, coding_shape = encode_indexed_sharded(
+        symbols, indices, cdf, lengths, offsets, PRECISION, shards,
+        use_native=use_native)
+    assert int(encoded[0]) == min(shards, shape[1])
+    decoded = decode_indexed_sharded(encoded, indices, cdf, lengths, offsets,
+                                     PRECISION, use_native=use_native)
+    np.testing.assert_array_equal(decoded, symbols)
+
+
+def test_sharded_streams_equal_independent_v1_streams():
+    """Each shard's substream is byte-identical to encode_indexed run on
+    that lane subset alone — shard boundaries are independent entry points."""
+    from hific_tpu.entropy.coding import (_lane_layout, _lane_splits,
+                                          encode_indexed_sharded)
+
+    rng = np.random.RandomState(20)
+    n_rows = 7
+    cdf, lengths, offsets = _random_tables(n_rows, rng)
+    shape = (1, 10, 4, 6)
+    indices = rng.randint(0, n_rows, size=shape).astype(np.int32)
+    symbols = _random_symbols(shape, indices, lengths, offsets, rng, 0.1)
+
+    shards = 3
+    payload, _ = encode_indexed_sharded(symbols, indices, cdf, lengths,
+                                        offsets, PRECISION, shards)
+    k = int(payload[0])
+    lens = payload[1 : 1 + k].astype(np.int64)
+    off = 1 + k
+
+    sym_l = _lane_layout(symbols)   # (P, C): lanes are channels
+    idx_l = _lane_layout(indices)
+    for (lo, hi), length in zip(_lane_splits(sym_l.shape[1], shards), lens):
+        sub_sym = np.ascontiguousarray(sym_l[:, lo:hi])
+        sub_idx = np.ascontiguousarray(idx_l[:, lo:hi])
+        # Re-shape the lane subset back to (1, C', H, W) for encode_indexed.
+        c = hi - lo
+        h, w = shape[2], shape[3]
+        sub_sym_img = sub_sym.reshape(h, w, c).transpose(2, 0, 1)[None]
+        sub_idx_img = sub_idx.reshape(h, w, c).transpose(2, 0, 1)[None]
+        ref, _ = encode_indexed(sub_sym_img, sub_idx_img, cdf, lengths,
+                                offsets, PRECISION)
+        np.testing.assert_array_equal(payload[off : off + length], ref)
+        off += length
+
+
+def test_sharded_native_numpy_bitstreams_identical():
+    from hific_tpu.entropy import native
+    from hific_tpu.entropy.coding import encode_indexed_sharded
+
+    if not native.available():
+        pytest.skip("native kernel unavailable")
+    rng = np.random.RandomState(21)
+    cdf, lengths, offsets = _random_tables(6, rng)
+    shape = (1, 9, 5, 4)
+    indices = rng.randint(0, 6, size=shape).astype(np.int32)
+    symbols = _random_symbols(shape, indices, lengths, offsets, rng, 0.1)
+
+    a, _ = encode_indexed_sharded(symbols, indices, cdf, lengths, offsets,
+                                  PRECISION, 4, use_native=True)
+    b, _ = encode_indexed_sharded(symbols, indices, cdf, lengths, offsets,
+                                  PRECISION, 4, use_native=False)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_multi_nibble_overflow():
+    from hific_tpu.entropy.coding import (decode_indexed_sharded,
+                                          encode_indexed_sharded)
+
+    rng = np.random.RandomState(22)
+    cdf, lengths, offsets = _random_tables(4, rng)
+    shape = (1, 6, 3, 3)
+    indices = rng.randint(0, 4, size=shape).astype(np.int32)
+    symbols = _random_symbols(shape, indices, lengths, offsets, rng, 0)
+    symbols[0, 0, 0, 0] = 50_000
+    symbols[0, 5, 2, 2] = -123_456
+
+    encoded, _ = encode_indexed_sharded(symbols, indices, cdf, lengths,
+                                        offsets, PRECISION, 4)
+    decoded = decode_indexed_sharded(encoded, indices, cdf, lengths, offsets,
+                                     PRECISION)
+    np.testing.assert_array_equal(decoded, symbols)
+
+
+def test_shards_clamped_to_lanes():
+    """More threads than lanes degrades gracefully to one stream per lane."""
+    from hific_tpu.entropy.coding import (decode_indexed_sharded,
+                                          encode_indexed_sharded)
+
+    rng = np.random.RandomState(23)
+    cdf, lengths, offsets = _random_tables(5, rng)
+    shape = (1, 3, 4, 4)
+    indices = rng.randint(0, 5, size=shape).astype(np.int32)
+    symbols = _random_symbols(shape, indices, lengths, offsets, rng)
+
+    encoded, _ = encode_indexed_sharded(symbols, indices, cdf, lengths,
+                                        offsets, PRECISION, shards=16)
+    assert int(encoded[0]) == 3
+    decoded = decode_indexed_sharded(encoded, indices, cdf, lengths, offsets,
+                                     PRECISION)
+    np.testing.assert_array_equal(decoded, symbols)
