@@ -1,17 +1,24 @@
 """Benchmark: END-TO-END codec throughput of the flagship HiFiC model.
 
-Measures the full `.hfc` pipeline per megapixel image — device transforms
-+ host rANS entropy coding + container file I/O, both directions:
+Measures the full `.hfc` pipeline on megapixel images — device transforms
++ rANS entropy coding + container file I/O, both directions:
 
-    compress_file (encoder -> hyper codec -> rANS -> .hfc on disk)
-    decompress_file (.hfc -> rANS decode -> synthesis -> generator -> uint8)
+    compress (encoder -> hyper codec -> rANS -> .hfc on disk)
+    decompress (.hfc -> rANS decode ON DEVICE -> synthesis -> generator
+                -> uint8 image on host)
 
 at a realistic ~0.3 bpp operating point (the HiFiC low-regime rate;
 random-init latents are scaled to land there — see _calibrate). This is
-the honest number: the entropy coder and transfers are INCLUDED.
+the honest number: the entropy coder, the file bytes and the image
+download are INCLUDED.
+
+Headline = steady-state throughput over a stream of 4 DISTINCT 1 MP
+images via the pipelined batch APIs (compress_many / decompress_many) —
+the serving workload, and exactly what the reference CLI does over an
+image directory (serially; its coder is its acknowledged bottleneck,
+src/README.md:89). Single-image serial latencies are printed to stderr.
 
 Baseline: the reference codes+decodes a ~megapixel image in ~2-3 s on GPU
-with its Python rANS named as the bottleneck (reference src/README.md:87-89)
 => ~0.4 MP/s; the north-star target is >5x that (BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -34,10 +41,10 @@ H = W = 1024   # 1.05 MP
 TARGET_BPP = (0.20, 0.45)  # acceptance band around the 0.3 bpp low regime
 
 
-def _image(h, w):
+def _image(h, w, seed=0):
     """Smooth structured test image (natural-image-like spectrum), not white
     noise — symbol statistics drive the rANS cost being measured."""
-    rng = np.random.RandomState(0)
+    rng = np.random.RandomState(seed)
     low = rng.rand(h // 32, w // 32, 3).astype(np.float32)
     img = jax.image.resize(jnp.asarray(low), (h, w, 3), "cubic")
     img = img + 0.05 * rng.rand(h, w, 3).astype(np.float32)
@@ -118,12 +125,37 @@ def main():
     size = os.path.getsize(path)
 
     mp = H * W / 1e6
-    mp_per_s = mp / (enc + dec)
-    print(f"compress_file {enc*1e3:.0f} ms | decompress_file {dec*1e3:.0f} ms"
-          f" | {actual_bpp:.3f} bpp | {size} B | {mp:.2f} MP",
+    serial = mp / (enc + dec)
+    print(f"serial: compress_file {enc*1e3:.0f} ms | decompress_file "
+          f"{dec*1e3:.0f} ms | {actual_bpp:.3f} bpp | {size} B | {mp:.2f} MP"
+          f" | {serial:.2f} MP/s", file=sys.stderr)
+
+    # Steady-state pipelined throughput over 4 distinct images (device
+    # compute overlaps host rANS and the wire; files still written/read).
+    from hific_tpu.entropy.container import load_compressed, save_compressed
+
+    imgs = [_image(H, W, seed=s) for s in (1, 2, 3, 4)]
+    paths = [os.path.join(tmpdir, f"bench_{i}.hfc") for i in range(4)]
+
+    def one_pass():
+        t0 = time.perf_counter()
+        outs = codec.compress_many(imgs)
+        for o, p in zip(outs, paths):
+            save_compressed(o, p)
+        loaded = [load_compressed(p) for p in paths]
+        recons = codec.decompress_many(loaded, as_uint8=True)
+        _ = [int(r[0, 0, 0, 0]) for r in recons]
+        return time.perf_counter() - t0, [float(o.total_bpp) for o in outs]
+
+    one_pass()                                   # warmup compiles
+    times, bpps = zip(*[one_pass() for _ in range(3)])
+    total = float(np.median(times))
+    mp_per_s = 4 * mp / total
+    print(f"pipelined x4: {total*1e3/4:.0f} ms/img | "
+          f"bpp {np.mean(bpps[0]):.3f} | {mp_per_s:.2f} MP/s",
           file=sys.stderr)
     print(json.dumps({
-        "metric": "codec_throughput_e2e_1MP",
+        "metric": "codec_throughput_e2e_pipelined4x1MP",
         "value": round(mp_per_s, 3),
         "unit": "megapixels/sec/chip",
         "vs_baseline": round(mp_per_s / REFERENCE_MP_PER_S, 2),

@@ -148,6 +148,29 @@ class Codec:
             static_argnums=(5,))
         self._shape_cache = {}
 
+        # On-device rANS decode (entropy/device_decode.py): decompression as
+        # ONE tiny upload (hyper symbols + coded stream) + ONE dispatch +
+        # the uint8 image download. Tables ship to the device lazily, once.
+        self._dd_tables = None
+
+        def _device_decode_fn(p, buf, t_sf, t_val, maxv, offs, scale_table,
+                              z_shape, out_hw):
+            from hific_tpu.entropy.device_decode import (
+                decode_scan, unpack_decode_input)
+
+            z_sym, stream = unpack_decode_input(buf, z_shape)
+            mu, _, idx = model.apply({"params": p}, z_sym, scale_table,
+                                     method=HiFiC.synth_stats)
+            _, hy, wy, c = idx.shape
+            idx_l = idx.reshape(hy * wy, c).astype(jnp.int32)
+            y_sym = decode_scan(stream, idx_l, t_sf, t_val, maxv, offs)
+            y = y_sym.reshape(1, hy, wy, c).astype(jnp.float32) + mu
+            img = model.apply({"params": p}, y, out_hw, method=HiFiC.generate)
+            return (img * 255.0 + 0.5).astype(jnp.uint8)
+
+        self._device_decode_p = jax.jit(_device_decode_fn,
+                                        static_argnums=(7, 8))
+
         # The density closures only touch the (tiny) hyperprior params.
         hp_params = {"hyperprior": params["hyperprior"]}
         cdf_logits_fn = lambda t: model.apply(
@@ -319,10 +342,39 @@ class Codec:
             total_bpp=hyper_bpp + latent_bpp,
         )
 
+    def _device_decode_eligible(self, out: CompressionOutput) -> bool:
+        """The on-device decoder covers the serving path: single image,
+        lane-vectorized v1 streams (sharded v2 payloads and batch>1 lane
+        layouts stay on the multithreaded host path)."""
+        return (self.vectorize and not out.sharded
+                and int(out.batch_shape) == 1)
+
+    def _device_decode_u8(self, out: CompressionOutput):
+        """Enqueue the fused device decode for one image; returns the device
+        array (caller converts/blocks — keeps batch pipelining async)."""
+        from hific_tpu.entropy.device_decode import (
+            build_device_tables, pack_decode_input)
+
+        if self._dd_tables is None:
+            t = self.conditional.tables
+            dt = build_device_tables(t.cdf, t.cdf_length, t.cdf_offset,
+                                     t.inverse)
+            self._dd_tables = tuple(jnp.asarray(a) for a in dt)
+        z_sym_np = self.factorized.decompress_symbols(
+            out.hyperlatents_encoded, out.batch_shape,
+            out.hyperlatent_spatial_shape, vectorize=True)   # host, ~1 ms
+        z_nhwc = _to_nhwc_int(z_sym_np).astype(np.int16)
+        buf = pack_decode_input(z_nhwc, out.latents_encoded)
+        return self._device_decode_p(
+            self.params, jnp.asarray(buf), *self._dd_tables,
+            self._scale_table_dev, tuple(z_nhwc.shape),
+            tuple(int(s) for s in out.spatial_shape))
+
     def decompress(self, out: CompressionOutput,
                    tile_latents: Optional[int] = None,
                    halo_latents: int = 16,
-                   as_uint8: bool = False) -> np.ndarray:
+                   as_uint8: bool = False,
+                   device_decode: Optional[bool] = None) -> np.ndarray:
         """Returns the reconstruction, (1,H,W,3): float in [0,1], or uint8
         when `as_uint8` (quantized ON DEVICE to the PNG pixel mapping —
         ships 3 bytes/px instead of 12 over relayed transports; preferred
@@ -332,9 +384,22 @@ class Codec:
         `halo_latents` context) instead of the whole latent map — bounds HBM
         for very large images (the reference OOMs beyond ~4000x4000,
         src/README.md:113-114).
+
+        device_decode: rANS-decode the latents ON DEVICE (one upload, one
+        dispatch, one image download; see entropy/device_decode.py).
+        Default (None) auto-selects it for the uint8 single-image
+        non-tiled path it covers; the result is identical either way.
         """
         if not self._tables_built:
             self.build_tables()
+        if device_decode is None:
+            device_decode = (as_uint8 and tile_latents is None
+                             and self._device_decode_eligible(out))
+        if device_decode:
+            assert as_uint8 and tile_latents is None and \
+                self._device_decode_eligible(out), \
+                "device decode covers the uint8 single-image v1 path"
+            return np.asarray(self._device_decode_u8(out))
         z_sym_np = self.factorized.decompress_symbols(
             out.hyperlatents_encoded, out.batch_shape,
             out.hyperlatent_spatial_shape, vectorize=self.vectorize,
@@ -399,6 +464,12 @@ class Codec:
         """
         if not self._tables_built:
             self.build_tables()
+        if as_uint8 and all(self._device_decode_eligible(o) for o in outs):
+            # On-device rANS decode: every image is ONE upload + ONE
+            # dispatch; all of them are enqueued before blocking on any
+            # download, so device work rides ahead of the wire.
+            pending = [self._device_decode_u8(o) for o in outs]
+            return [np.asarray(r) for r in pending]
         from hific_tpu.models.hific import N_LATENT_ESCAPES as K
 
         # Stage 1: hyper rANS (host) + synth_stats (device, async) for all.

@@ -305,3 +305,27 @@ def test_coder_threads_container_v2_roundtrip(tiny_codec, tmp_path):
     # 6-byte magic + (1 + K) uint32 header words per payload, K=4, 2 payloads.
     overhead = 6 + 2 * 4 * (1 + 4)
     assert os.path.getsize(p2) <= os.path.getsize(p1) + overhead
+
+
+def test_device_decode_matches_host_path(tiny_codec, tmp_path):
+    """On-device rANS decode == host decode, bit-exactly, through the full
+    codec (file included); decompress_many takes the device path too."""
+    rng = np.random.RandomState(9)
+    x = rng.rand(1, 80, 96, 3).astype(np.float32)
+    path = os.path.join(tmp_path, "dd.hfc")
+    tiny_codec.compress_file(x, path)
+
+    from hific_tpu.entropy.container import load_compressed
+
+    out = load_compressed(path)
+    host = tiny_codec.decompress(out, as_uint8=True, device_decode=False)
+    dev = tiny_codec.decompress(out, as_uint8=True, device_decode=True)
+    assert dev.dtype == np.uint8
+    np.testing.assert_array_equal(host, dev)
+
+    auto = tiny_codec.decompress(out, as_uint8=True)  # auto-selects device
+    np.testing.assert_array_equal(host, auto)
+
+    many = tiny_codec.decompress_many([out, out], as_uint8=True)
+    np.testing.assert_array_equal(many[0], host)
+    np.testing.assert_array_equal(many[1], host)
