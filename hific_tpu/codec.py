@@ -153,7 +153,7 @@ class Codec:
         # the uint8 image download. Tables ship to the device lazily, once.
         self._dd_tables = None
 
-        def _device_decode_fn(p, buf, t_sf, t_val, maxv, offs, scale_table,
+        def _device_decode_fn(p, buf, t_pair, maxv, offs, scale_table,
                               z_shape, out_hw):
             from hific_tpu.entropy.device_decode import (
                 decode_scan, unpack_decode_input)
@@ -163,13 +163,13 @@ class Codec:
                                      method=HiFiC.synth_stats)
             _, hy, wy, c = idx.shape
             idx_l = idx.reshape(hy * wy, c).astype(jnp.int32)
-            y_sym = decode_scan(stream, idx_l, t_sf, t_val, maxv, offs)
+            y_sym = decode_scan(stream, idx_l, t_pair, maxv, offs)
             y = y_sym.reshape(1, hy, wy, c).astype(jnp.float32) + mu
             img = model.apply({"params": p}, y, out_hw, method=HiFiC.generate)
             return (img * 255.0 + 0.5).astype(jnp.uint8)
 
         self._device_decode_p = jax.jit(_device_decode_fn,
-                                        static_argnums=(7, 8))
+                                        static_argnums=(6, 7))
 
         # The density closures only touch the (tiny) hyperprior params.
         hp_params = {"hyperprior": params["hyperprior"]}

@@ -32,7 +32,7 @@ def _device_decode(encoded, indices, cdf, lengths, offsets):
     dt = build_device_tables(cdf, lengths, offsets, inv)
     idx_l = indices[0].transpose(1, 2, 0).reshape(h * w, c).astype(np.int32)
     out = decode_scan(jnp.asarray(encoded, jnp.uint32), jnp.asarray(idx_l),
-                      jnp.asarray(dt.t_sf), jnp.asarray(dt.t_val),
+                      jnp.asarray(dt.t_pair),
                       jnp.asarray(dt.maxv), jnp.asarray(dt.offs))
     return np.asarray(out).reshape(h, w, c).transpose(2, 0, 1)[None]
 
