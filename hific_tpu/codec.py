@@ -127,6 +127,26 @@ class Codec:
             lambda p, x, table: model.apply(
                 {"params": p}, x, table,
                 method=HiFiC.compress_symbols_packed))
+        # uint8 ingestion: images upload as 3 B/px and normalize on device
+        # (4x less wire than fp32 — the upload is part of the honest codec
+        # cost). Mirrors EvalDataset's host-side mapping exactly.
+        def _u8_to_model(x8):
+            x = x8.astype(jnp.float32) / 255.0
+            if config.normalize_input_image:
+                x = x * 2.0 - 1.0
+            return x
+
+        self._compress_packed_u8_p = jax.jit(
+            lambda p, x8, table: model.apply(
+                {"params": p}, _u8_to_model(x8), table,
+                method=HiFiC.compress_symbols_packed))
+        self._compress_syms_u8_p = jax.jit(
+            lambda p, x8, table: model.apply(
+                {"params": p}, _u8_to_model(x8), table,
+                method=HiFiC.compress_symbols))
+        self._encoder_tile_u8_p = jax.jit(
+            lambda p, x8: model.apply({"params": p}, _u8_to_model(x8),
+                                      method=HiFiC.encoder_forward))
         # Encode-side tiling programs: bare encoder per tile (ONE compiled
         # executable for any image size), then the hyper/symbol stages run
         # once on the assembled latents (tiny vs image-resolution work).
@@ -247,11 +267,14 @@ class Codec:
         `halo_image` pixels of context (both multiples of 16) — bounded
         HBM for arbitrary resolutions, bit-identical latents for halos
         >= the encoder's one-sided receptive extent (49 px; default 64)."""
+        is_u8 = x.dtype == jnp.uint8
         if tile_image:
             from hific_tpu.tiling import tiled_downsample_apply
 
+            enc_tile = (self._encoder_tile_u8_p if is_u8
+                        else self._encoder_tile_p)
             y = tiled_downsample_apply(
-                lambda t: self._encoder_tile_p(self.params, t), x,
+                lambda t: enc_tile(self.params, t), x,
                 scale=ENC_SCALE, tile=tile_image, halo=halo_image)
             buf = np.asarray(self._compress_packed_lat_p(
                 self.params, y, self._scale_table_dev))
@@ -263,14 +286,14 @@ class Codec:
                     self.params, y, self._scale_table_dev)
                 y_sym = np.asarray(y16)
             return z_sym, y_sym, idx, hb, lb
-        buf = np.asarray(
-            self._compress_packed_p(self.params, x, self._scale_table_dev))
+        packed = self._compress_packed_u8_p if is_u8 else self._compress_packed_p
+        syms = self._compress_syms_u8_p if is_u8 else self._compress_syms_p
+        buf = np.asarray(packed(self.params, x, self._scale_table_dev))
         z_shape, y_shape = self._symbol_shapes(x.shape)
         z_sym, y_sym, idx, hb, lb = self._unpack_compressed(
             buf, z_shape, y_shape)
         if y_sym is None:  # >N_LATENT_ESCAPES int8 escapes: unpacked path
-            _, y16, _, _, _ = self._compress_syms_p(self.params, x,
-                                                    self._scale_table_dev)
+            _, y16, _, _, _ = syms(self.params, x, self._scale_table_dev)
             y_sym = np.asarray(y16)
         return z_sym, y_sym, idx, hb, lb
 
@@ -292,10 +315,16 @@ class Codec:
         ~8 GB/MP, src/README.md:113-114). Bit-identical to whole-image
         compression (tested) when halo_image >= the encoder's one-sided
         receptive extent (49 px; default 64).
+
+        x may also be uint8 (1,H,W,3): it uploads at 3 B/px and maps to
+        the model's input range on device — the preferred ingestion path
+        (bit-identical to passing the same pixels as float, tested).
         """
         if not self._tables_built:
             self.build_tables()
-        x = jnp.asarray(x, jnp.float32)
+        x = jnp.asarray(x)
+        if x.dtype != jnp.uint8:
+            x = x.astype(jnp.float32)
         spatial_shape = tuple(int(s) for s in x.shape[1:3])
         if shape_bucket:
             from hific_tpu.ops.padding import pad_factor
@@ -571,14 +600,17 @@ class Codec:
         # enqueued before the host blocks on any symbols.
         staged = []
         for x in images:
-            x = jnp.asarray(x, jnp.float32)
+            x = jnp.asarray(x)
+            if x.dtype != jnp.uint8:
+                x = x.astype(jnp.float32)
             spatial_shape = tuple(int(s) for s in x.shape[1:3])
             if shape_bucket:
                 from hific_tpu.ops.padding import pad_factor
 
                 x = pad_factor(x, shape_bucket)
-            buf = self._compress_packed_p(self.params, x,
-                                          self._scale_table_dev)
+            packed = (self._compress_packed_u8_p if x.dtype == jnp.uint8
+                      else self._compress_packed_p)
+            buf = packed(self.params, x, self._scale_table_dev)
             staged.append((spatial_shape, x, buf))
 
         outputs = []
@@ -587,8 +619,9 @@ class Codec:
             z_sym, y_sym, idx, hyper_bits, latent_bits = (
                 self._unpack_compressed(np.asarray(buf), z_shape, y_shape))
             if y_sym is None:  # escape overflow: unpacked int16 path
-                _, y16, _, _, _ = self._compress_syms_p(
-                    self.params, x, self._scale_table_dev)
+                syms = (self._compress_syms_u8_p if x.dtype == jnp.uint8
+                        else self._compress_syms_p)
+                _, y16, _, _, _ = syms(self.params, x, self._scale_table_dev)
                 y_sym = np.asarray(y16)
             z_sym_np = _to_nchw(z_sym).astype(np.int32)
             y_sym_np = _to_nchw(y_sym).astype(np.int32)

@@ -329,3 +329,24 @@ def test_device_decode_matches_host_path(tiny_codec, tmp_path):
     many = tiny_codec.decompress_many([out, out], as_uint8=True)
     np.testing.assert_array_equal(many[0], host)
     np.testing.assert_array_equal(many[1], host)
+
+
+def test_uint8_ingestion_bitexact(tiny_codec, tmp_path):
+    """compress(uint8 image) == compress(float image of the same pixels):
+    identical bitstreams via the on-device normalize (the u8 upload is the
+    preferred ingestion wire)."""
+    rng = np.random.RandomState(11)
+    x8 = rng.randint(0, 256, size=(1, 80, 96, 3), dtype=np.uint8)
+    xf = x8.astype(np.float32) / 255.0
+
+    out_f = tiny_codec.compress(xf)
+    out_8 = tiny_codec.compress(x8)
+    np.testing.assert_array_equal(out_f.hyperlatents_encoded,
+                                  out_8.hyperlatents_encoded)
+    np.testing.assert_array_equal(out_f.latents_encoded,
+                                  out_8.latents_encoded)
+    assert out_f.total_bpp == out_8.total_bpp
+
+    outs = tiny_codec.compress_many([x8, xf], shape_bucket=32)
+    np.testing.assert_array_equal(outs[0].latents_encoded,
+                                  outs[1].latents_encoded)
