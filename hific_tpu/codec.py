@@ -191,6 +191,41 @@ class Codec:
         self._device_decode_p = jax.jit(_device_decode_fn,
                                         static_argnums=(6, 7))
 
+        # On-device rANS ENCODE (entropy/device_encode.py): the whole
+        # compress side — transforms + quantization + entropy coding — in
+        # ONE program, fetching only head words + spilled stream words
+        # (~the .hfc payload) instead of ~2 MB of raw symbols + indices.
+        def _device_compress_fn(p, x, y_cdf, y_len, y_off, z_cdf, z_len,
+                                z_off, scale_table):
+            from hific_tpu.entropy.device_encode import encode_scan
+
+            if x.dtype == jnp.uint8:
+                x = _u8_to_model(x)
+            z_sym, y_sym, idx, hb, lb = model.apply(
+                {"params": p}, x, scale_table,
+                method=HiFiC.compress_symbols)
+            _, hy, wy, cy = y_sym.shape
+            _, hz, wz, cz = z_sym.shape
+            y_l = y_sym.reshape(hy * wy, cy).astype(jnp.int32)
+            yi_l = idx.reshape(hy * wy, cy).astype(jnp.int32)
+            z_l = z_sym.reshape(hz * wz, cz).astype(jnp.int32)
+            zi_l = jnp.broadcast_to(
+                jnp.arange(cz, dtype=jnp.int32)[None], (hz * wz, cz))
+            y_out = encode_scan(y_l, yi_l, y_cdf, y_len, y_off)
+            z_out = encode_scan(z_l, zi_l, z_cdf, z_len, z_off)
+            scalars = jnp.stack([y_out[4], y_out[5], z_out[4], z_out[5]])
+            bits = jax.lax.bitcast_convert_type(
+                jnp.stack([hb.astype(jnp.float32),
+                           lb.astype(jnp.float32)]), jnp.uint32)
+            return jnp.concatenate([
+                scalars, bits,
+                y_out[0], y_out[1], z_out[0], z_out[1],     # heads
+                y_out[3], z_out[3],                         # lens buffers
+                y_out[2], z_out[2],                         # spill buffers
+            ])
+
+        self._device_compress_p = jax.jit(_device_compress_fn)
+
         # The density closures only touch the (tiny) hyperprior params.
         hp_params = {"hyperprior": params["hyperprior"]}
         cdf_logits_fn = lambda t: model.apply(
@@ -298,10 +333,85 @@ class Codec:
         return z_sym, y_sym, idx, hb, lb
 
     # ------------------------------------------------------------------ #
+    # Device-side entropy ENCODE path
+
+    def _enc_tables(self):
+        if getattr(self, "_enc_tables_dev", None) is None:
+            def as_dev(t):
+                return (jnp.asarray(np.asarray(t.cdf).astype(np.int64),
+                                    jnp.int32),
+                        jnp.asarray(t.cdf_length, jnp.int32),
+                        jnp.asarray(t.cdf_offset, jnp.int32))
+
+            self._enc_tables_dev = (as_dev(self.conditional.tables)
+                                    + as_dev(self.factorized.tables))
+        return self._enc_tables_dev
+
+    def _enqueue_device_compress(self, x):
+        """Enqueue the fused transforms+entropy-coding program; returns
+        (device buffer, z_shape, y_shape) — caller unpacks (async-safe)."""
+        z_shape, y_shape = self._symbol_shapes(x.shape)
+        buf = self._device_compress_p(self.params, x, *self._enc_tables(),
+                                      self._scale_table_dev)
+        return buf, z_shape, y_shape
+
+    def _unpack_device_compress(self, buf, z_shape, y_shape, spatial_shape):
+        """Parse the packed encode output into a CompressionOutput, or None
+        when a capacity cap was exceeded (caller falls back to the host
+        coder — statistically impossible at sane bitrates, but checked)."""
+        from hific_tpu.entropy.device_encode import (assemble_stream,
+                                                     default_caps)
+
+        buf = np.asarray(buf)
+        _, hz, wz, cz = z_shape
+        _, hy, wy, cy = y_shape
+        py, pz = hy * wy, hz * wz
+        y_sp, y_le = default_caps(py, cy)
+        z_sp, z_le = default_caps(pz, cz)
+        y_scur, y_ecur, z_scur, z_ecur = (int(v) for v in buf[0:4])
+        if (y_scur > y_sp or y_ecur > y_le or z_scur > z_sp
+                or z_ecur > z_le):
+            return None
+        hyper_bits, latent_bits = (float(v) for v in buf[4:6].view(np.float32))
+        o = 6
+        y_hi = buf[o:o + cy]; o += cy
+        y_lo = buf[o:o + cy]; o += cy
+        z_hi = buf[o:o + cz]; o += cz
+        z_lo = buf[o:o + cz]; o += cz
+        y_lens = buf[o:o + y_le]; o += y_le
+        z_lens = buf[o:o + z_le]; o += z_le
+        y_spill = buf[o:o + y_sp]; o += y_sp
+        z_spill = buf[o:o + z_sp]; o += z_sp
+
+        y_enc = assemble_stream(y_hi, y_lo, y_spill, y_lens, y_scur, y_ecur)
+        z_enc = assemble_stream(z_hi, z_lo, z_spill, z_lens, z_scur, z_ecur)
+        n_pixels = float(np.prod(spatial_shape))
+        return CompressionOutput(
+            hyperlatents_encoded=z_enc,
+            latents_encoded=y_enc,
+            hyperlatent_spatial_shape=(hz, wz),
+            spatial_shape=spatial_shape,
+            hyper_coding_shape=(cz, 1, 1),
+            latent_coding_shape=(cy, 1, 1),
+            batch_shape=1,
+            hyperlatent_bits=hyper_bits,
+            latent_bits=latent_bits,
+            total_bits=hyper_bits + latent_bits,
+            hyperlatent_bpp=hyper_bits / n_pixels,
+            latent_bpp=latent_bits / n_pixels,
+            total_bpp=(hyper_bits + latent_bits) / n_pixels,
+        )
+
+    def _device_encode_eligible(self, x, tile_image) -> bool:
+        return (self.vectorize and self.coder_threads == 1
+                and tile_image is None and int(x.shape[0]) == 1)
+
+    # ------------------------------------------------------------------ #
 
     def compress(self, x, shape_bucket: Optional[int] = None,
                  tile_image: Optional[int] = None,
-                 halo_image: int = 64) -> CompressionOutput:
+                 halo_image: int = 64,
+                 device_encode: Optional[bool] = None) -> CompressionOutput:
         """x: (1,H,W,3) float in [0,1] (NHWC, device or numpy).
 
         shape_bucket: reflect-pad H,W up to multiples of this value before
@@ -319,6 +429,15 @@ class Codec:
         x may also be uint8 (1,H,W,3): it uploads at 3 B/px and maps to
         the model's input range on device — the preferred ingestion path
         (bit-identical to passing the same pixels as float, tested).
+
+        device_encode: run the rANS encoder ON DEVICE too (see
+        entropy/device_encode.py): one program from pixels to stream
+        words, fetching ~the .hfc payload instead of raw symbols.
+        Byte-identical output either way. The encode scan trades ~30 ms
+        of on-chip compute for ~35 ms of wire — a wash serially, a win
+        whenever the compute overlaps other transfers — so the default
+        here is the host coder; `compress_many` auto-selects the device
+        coder (where the overlap is real).
         """
         if not self._tables_built:
             self.build_tables()
@@ -330,6 +449,14 @@ class Codec:
             from hific_tpu.ops.padding import pad_factor
 
             x = pad_factor(x, shape_bucket)
+
+        if device_encode:
+            assert self._device_encode_eligible(x, tile_image)
+            out = self._unpack_device_compress(
+                *self._enqueue_device_compress(x), spatial_shape)
+            if out is not None:
+                return out
+            # capacity fallback: host coder below
 
         # Device: transforms + quantization + rate estimates, fused into a
         # single dispatch AND a single packed fetch (int8 symbols + uint8
@@ -596,9 +723,7 @@ class Codec:
         if not self._tables_built:
             self.build_tables()
 
-        # Stage 1 (device, async): the full device side of every image is
-        # enqueued before the host blocks on any symbols.
-        staged = []
+        prepped = []
         for x in images:
             x = jnp.asarray(x)
             if x.dtype != jnp.uint8:
@@ -608,6 +733,31 @@ class Codec:
                 from hific_tpu.ops.padding import pad_factor
 
                 x = pad_factor(x, shape_bucket)
+            prepped.append((spatial_shape, x))
+
+        if all(self._device_encode_eligible(x, None) for _, x in prepped):
+            # Device entropy encode: every image is one fused program;
+            # all are enqueued before blocking on any fetch.
+            staged_dev = [(ss, x, self._enqueue_device_compress(x))
+                          for ss, x in prepped]
+            outputs = []
+            for ss, x, (buf, z_shape, y_shape) in staged_dev:
+                out = self._unpack_device_compress(buf, z_shape, y_shape, ss)
+                if out is None:            # capacity fallback, host coder
+                    out = self.compress(x, device_encode=False)
+                    n_px = float(np.prod(ss))
+                    out = out._replace(
+                        spatial_shape=ss,
+                        hyperlatent_bpp=out.hyperlatent_bits / n_px,
+                        latent_bpp=out.latent_bits / n_px,
+                        total_bpp=out.total_bits / n_px)
+                outputs.append(out)
+            return outputs
+
+        # Stage 1 (device, async): the full device side of every image is
+        # enqueued before the host blocks on any symbols.
+        staged = []
+        for spatial_shape, x in prepped:
             packed = (self._compress_packed_u8_p if x.dtype == jnp.uint8
                       else self._compress_packed_p)
             buf = packed(self.params, x, self._scale_table_dev)

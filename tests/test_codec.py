@@ -350,3 +350,35 @@ def test_uint8_ingestion_bitexact(tiny_codec, tmp_path):
     outs = tiny_codec.compress_many([x8, xf], shape_bucket=32)
     np.testing.assert_array_equal(outs[0].latents_encoded,
                                   outs[1].latents_encoded)
+
+
+def test_device_encode_matches_host_path(tiny_codec):
+    """On-device entropy ENCODE == host coder through the full codec:
+    byte-identical .hfc payloads, same bpp, and round-trips; compress_many
+    takes the device path too."""
+    rng = np.random.RandomState(13)
+    x = rng.rand(1, 80, 96, 3).astype(np.float32)
+
+    host = tiny_codec.compress(x, device_encode=False)
+    dev = tiny_codec.compress(x, device_encode=True)
+    np.testing.assert_array_equal(host.hyperlatents_encoded,
+                                  dev.hyperlatents_encoded)
+    np.testing.assert_array_equal(host.latents_encoded, dev.latents_encoded)
+    assert abs(host.total_bpp - dev.total_bpp) < 1e-4
+    assert host.hyperlatent_spatial_shape == dev.hyperlatent_spatial_shape
+    assert host.latent_coding_shape == dev.latent_coding_shape
+
+    auto = tiny_codec.compress(x)                       # auto-selects device
+    np.testing.assert_array_equal(auto.latents_encoded, host.latents_encoded)
+
+    recon_h = tiny_codec.decompress(host, as_uint8=True)
+    recon_d = tiny_codec.decompress(dev, as_uint8=True)
+    np.testing.assert_array_equal(recon_h, recon_d)
+
+    x8 = (x * 255 + 0.5).astype(np.uint8)
+    outs = tiny_codec.compress_many([x8, x8], shape_bucket=32)
+    np.testing.assert_array_equal(outs[0].latents_encoded,
+                                  outs[1].latents_encoded)
+    want8 = tiny_codec.compress(x8, shape_bucket=32, device_encode=False)
+    np.testing.assert_array_equal(outs[0].latents_encoded,
+                                  want8.latents_encoded)
