@@ -196,16 +196,6 @@ def default_caps(p: int, lanes: int) -> Tuple[int, int]:
     return p * lanes // 4 + 4096, 4 * p + 64
 
 
-def download_caps(p: int, lanes: int) -> Tuple[int, int]:
-    """(spill words, lens words) worth shipping over the wire: ~2 bits per
-    symbol of stream allowance and ~1.25 push events per position — an
-    order of magnitude above real operating points, an order of magnitude
-    below the in-kernel buffers. Cursors beyond these trigger the host
-    fallback, same as the hard caps."""
-    return min(p * lanes // 14 + 2048, default_caps(p, lanes)[0]), \
-        min(p + p // 4 + 64, default_caps(p, lanes)[1])
-
-
 def encode_scan(sym_l, idx_l, cdf, cdf_length, cdf_offset,
                 precision: int = 16, spill_cap: int = 0, lens_cap: int = 0,
                 unroll: int = 8):
