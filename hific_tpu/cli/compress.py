@@ -58,6 +58,10 @@ def parse_args(argv=None):
     p.add_argument("--pipeline", type=int, default=0, metavar="N",
                    help="compress in pipelined groups of N images (device "
                         "compute overlaps host rANS)")
+    p.add_argument("--pipeline_chunk", type=int, default=1,
+                   help="within a pipelined group, batch this many "
+                        "same-shape images into one device program (one "
+                        "upload/dispatch/fetch per chunk); 1 disables")
     p.add_argument("--no_lpips", action="store_true",
                    help="skip the per-image LPIPS column")
     p.add_argument("--lpips_weights", default=None,
@@ -120,7 +124,8 @@ def main(argv=None):
                                         jax.random.PRNGKey(a.seed))
 
     codec = Codec(config, params, vectorize=not a.scalar_rans,
-                  coder_threads=a.coder_threads)
+                  coder_threads=a.coder_threads,
+                  pipeline_chunk=a.pipeline_chunk)
     logger.info("Building prior probability tables...")
     codec.build_tables()
 
@@ -154,7 +159,7 @@ def main(argv=None):
         for i in range(0, len(items), a.pipeline):
             group = items[i : i + a.pipeline]
             t0 = time.time()
-            outs = codec.compress_many([jnp.asarray(x) for x, _, _ in group],
+            outs = codec.compress_many([x for x, _, _ in group],
                                        shape_bucket=a.shape_bucket)
             t_enc = (time.time() - t0) / max(len(group), 1)
             bpps = [save_compressed(

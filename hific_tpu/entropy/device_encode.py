@@ -196,6 +196,7 @@ def default_caps(p: int, lanes: int) -> Tuple[int, int]:
     return p * lanes // 4 + 4096, 4 * p + 64
 
 
+
 def encode_scan(sym_l, idx_l, cdf, cdf_length, cdf_offset,
                 precision: int = 16, spill_cap: int = 0, lens_cap: int = 0,
                 unroll: int = 8):

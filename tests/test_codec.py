@@ -259,6 +259,74 @@ def test_packed_wire_escape_path(tiny_codec):
         codec._shape_cache.clear()
 
 
+def test_compress_many_chunk_batched_matches_serial(tiny_codec):
+    """Chunk-batched device compression (vmapped program: one upload/
+    dispatch/fetch per chunk of same-shape host images) emits byte-identical
+    streams to per-image compression, across a shape break and an odd-size
+    tail, with output order preserved."""
+    rng = np.random.RandomState(17)
+    images = [rng.randint(0, 256, size=(1, 64, 64, 3), dtype=np.uint8)
+              for _ in range(3)]
+    # Different shape in the middle breaks the batching run.
+    images.insert(1, rng.randint(0, 256, size=(1, 64, 96, 3), dtype=np.uint8))
+
+    tiny_codec.pipeline_chunk = 2
+    try:
+        outs = tiny_codec.compress_many(images)
+        assert len(outs) == len(images)
+        for img, out in zip(images, outs):
+            want = tiny_codec.compress(img)      # host-coder reference
+            np.testing.assert_array_equal(out.hyperlatents_encoded,
+                                          want.hyperlatents_encoded)
+            np.testing.assert_array_equal(out.latents_encoded,
+                                          want.latents_encoded)
+            assert out.spatial_shape == want.spatial_shape
+            np.testing.assert_allclose(out.total_bpp, want.total_bpp,
+                                       rtol=1e-4)
+
+        # Chunk-batched decode returns exactly the pixels of the serial
+        # round trip — cross-chunk-size determinism of the synthesis stats
+        # (the codec's core invariant) included.
+        recons = tiny_codec.decompress_many(outs, as_uint8=True)
+    finally:
+        tiny_codec.pipeline_chunk = 1
+    for img, out, got in zip(images, outs, recons):
+        want = tiny_codec.decompress(tiny_codec.compress(img), as_uint8=True)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_chunk_batched_escape_paths(tiny_codec):
+    """Escapes through the batched programs: latent symbols beyond int8
+    force the device-encode capacity/escape handling per batch row; the
+    chunked round trip must stay exact and match the serial one."""
+    codec = tiny_codec
+    base = codec.params
+    conv = dict(base["encoder"]["conv_out"]["Conv_0"])
+    conv = {"kernel": conv["kernel"] * 40.0, "bias": conv["bias"] * 40.0}
+    try:
+        codec.params = {**dict(base),
+                        "encoder": {**dict(base["encoder"]),
+                                    "conv_out": {"Conv_0": conv}}}
+        codec._shape_cache.clear()
+        codec.pipeline_chunk = 2
+        rng = np.random.RandomState(19)
+        images = [rng.randint(0, 256, size=(1, 64, 64, 3), dtype=np.uint8)
+                  for _ in range(2)]
+        outs = codec.compress_many(images)
+        for img, out in zip(images, outs):
+            want = codec.compress(img)
+            np.testing.assert_array_equal(out.latents_encoded,
+                                          want.latents_encoded)
+        recons = codec.decompress_many(outs, as_uint8=True)
+        for out, got in zip(outs, recons):
+            want = codec.decompress(out, as_uint8=True, device_decode=False)
+            np.testing.assert_array_equal(got, want)
+    finally:
+        codec.params = base
+        codec._shape_cache.clear()
+        codec.pipeline_chunk = 1
+
+
 def test_decompress_many_matches_serial(tiny_codec, tmp_path):
     """Pipelined batch decode == per-image decode, exactly."""
     rng = np.random.RandomState(5)
