@@ -41,6 +41,8 @@ def save_checkpoint(directory: str, state: TrainState, config: Config,
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:
+    # Absolute: Orbax rejects relative checkpoint paths at restore time.
+    directory = os.path.abspath(directory)
     if not os.path.isdir(directory):
         return None
     steps = []
@@ -68,6 +70,7 @@ def restore_train_state(path: str, config: Config, rng,
     only); codec params + their optimizer are restored, everything
     discriminator-shaped keeps its fresh initialization.
     """
+    path = os.path.abspath(path)   # Orbax rejects relative paths
     template = create_train_state(config, rng)
     ckptr = _checkpointer()
     if not warmstart:

@@ -103,3 +103,28 @@ def test_eval_dataset(image_dir):
     x, bpp, path = items[0]
     assert x.ndim == 4 and x.shape[0] == 1 and x.shape[-1] == 3
     assert bpp > 0 and os.path.exists(path)
+
+
+def test_ms_ssim_bounded_and_dtype_robust():
+    """MS-SSIM is a METRIC: it must stay <= 1 regardless of the compute
+    dtype the surrounding pipeline runs in. Regression for a real bug: on
+    TPU the default conv precision is bfloat16, which inflated MS-SSIM by
+    up to +0.13 on real images (values > 1) until the windows were pinned
+    to HIGHEST precision; bf16 INPUTS must also be handled (cast to f32
+    internally), since training-eval reconstructions arrive in the model
+    dtype."""
+    import jax.numpy as jnp
+
+    from hific_tpu.utils.metrics import ms_ssim
+
+    rng = np.random.RandomState(7)
+    a = rng.rand(1, 192, 224, 3).astype(np.float32)
+    b = np.clip(a + rng.randn(1, 192, 224, 3).astype(np.float32) * 0.05,
+                0, 1)
+    v32 = float(np.asarray(ms_ssim(jnp.asarray(a), jnp.asarray(b)))[0])
+    assert 0.0 < v32 <= 1.0 + 1e-6
+    v16 = float(np.asarray(ms_ssim(jnp.asarray(a, jnp.bfloat16),
+                                   jnp.asarray(b, jnp.bfloat16)))[0])
+    assert abs(v16 - v32) < 5e-3  # input quantization only, not compute
+    assert np.asarray(ms_ssim(jnp.asarray(a), jnp.asarray(b))).dtype == \
+        np.float32
