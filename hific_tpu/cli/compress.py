@@ -96,7 +96,16 @@ def make_lpips_metric(a, logger):
             "LPIPS backbone uncalibrated (seeded random init): 'lpips' "
             "column is architecture-exact but not comparable to published "
             "numbers. Pass --lpips_weights / --lpips_backbone_path.")
-    jfn = jax.jit(lambda x0, x1: fn(x0, x1, normalize=True))
+    def _metric(x0, x1):
+        # Metric integrity: pin the AlexNet/lin convs to HIGHEST precision
+        # (TPU's default conv precision is bfloat16 — fine as a training
+        # loss in a bf16 model, not for a reported metric; the same class
+        # of bug inflated MS-SSIM by +0.13, see utils/metrics.py).
+        with jax.default_matmul_precision("highest"):
+            return fn(x0.astype(jnp.float32), x1.astype(jnp.float32),
+                      normalize=True)
+
+    jfn = jax.jit(_metric)
     return jfn, calibrated
 
 

@@ -215,6 +215,16 @@ def main(argv=None):
         recon_dir = os.path.join(exp_dir, "reconstructions")
         os.makedirs(recon_dir, exist_ok=True)
 
+    start_step = int(state.step)
+    if start_step >= config.n_steps:
+        # Steps are ABSOLUTE (schedules — lambda/lr/target-rate — are
+        # functions of the global step, and warmstart/resume restore the
+        # source counter): a fine-tune must ask for a TOTAL budget larger
+        # than the restored step, e.g. warmup 2e5 then GAN with -steps 4e5.
+        raise SystemExit(
+            f"-steps {config.n_steps} <= restored step {start_step}: "
+            f"nothing to train. Steps count from 0 across phases; pass "
+            f"the total budget (restored + new steps).")
     logger.info("Starting training for %d steps", config.n_steps)
     train_generator, d_steps_taken = True, 0
     t0, last_log_step = time.time(), 0
