@@ -484,7 +484,11 @@ class Codec:
             x = pad_factor(x, shape_bucket)
 
         if device_encode:
-            assert self._device_encode_eligible(x, tile_image)
+            if not self._device_encode_eligible(x, tile_image):
+                raise ValueError(
+                    "device_encode=True but the input is not eligible for "
+                    "the device encoder (requires vectorize, batch 1, "
+                    "no tiling, coder_threads == 1)")
             out = self._unpack_device_compress(
                 *self._enqueue_device_compress(x), spatial_shape)
             if out is not None:
@@ -497,7 +501,12 @@ class Codec:
         # as the decoder side does; the coder is lossless — tested).
         z_sym, y_sym, idx, hyper_bits, latent_bits = self._device_compress(
             x, spatial_shape, tile_image=tile_image, halo_image=halo_image)
+        return self._finish_compress(z_sym, y_sym, idx, hyper_bits,
+                                     latent_bits, spatial_shape)
 
+    def _finish_compress(self, z_sym, y_sym, idx, hyper_bits, latent_bits,
+                         spatial_shape) -> CompressionOutput:
+        """Host rANS coding of the device-produced symbol planes."""
         z_sym_np = _to_nchw(z_sym).astype(np.int32)
         y_sym_np = _to_nchw(y_sym).astype(np.int32)
         idx_np = _to_nchw(idx).astype(np.int32)
@@ -591,9 +600,12 @@ class Codec:
             device_decode = (as_uint8 and tile_latents is None
                              and self._device_decode_eligible(out))
         if device_decode:
-            assert as_uint8 and tile_latents is None and \
-                self._device_decode_eligible(out), \
-                "device decode covers the uint8 single-image v1 path"
+            if not (as_uint8 and tile_latents is None
+                    and self._device_decode_eligible(out)):
+                raise ValueError(
+                    "device_decode=True but this payload is not eligible: "
+                    "the device decoder covers the uint8, non-tiled, "
+                    "single-image, unsharded-v1 path only")
             return np.asarray(self._device_decode_u8(out))
         z_sym_np = self.factorized.decompress_symbols(
             out.hyperlatents_encoded, out.batch_shape,
@@ -750,6 +762,107 @@ class Codec:
             pending.append(recon)
         return [np.asarray(r) for r in pending]
 
+    # ------------------------------------------------------------------ #
+    # Spatially-partitioned (multi-chip) codec: ONE huge image across the
+    # mesh's data axis (parallel/spatial.py row bands + ppermute halos),
+    # composed with the standard hyper/symbol/entropy stages.
+
+    def compress_spatial(self, x, mesh, halo_image: int = 64
+                         ) -> CompressionOutput:
+        """Compress ONE image with the encoder sharded over `mesh`'s data
+        axis. Streams are byte-identical to `compress(x)` whenever the
+        padded height is unchanged by the extra mesh constraint, i.e.
+        H % (n_devices * 16) == 0 (tested); otherwise extra bottom rows
+        are reflect-padded in (more latent rows than the single-device
+        file — decodes fine, not byte-comparable).
+
+        The reference OOMs beyond ~4000x4000 on one device
+        (src/README.md:113-114); this bounds per-chip HBM by the band
+        size, scaling max resolution linearly in chips.
+        """
+        from hific_tpu.ops.padding import pad_factor
+        from hific_tpu.parallel.mesh import DATA_AXIS
+        from hific_tpu.parallel.spatial import spatial_encode_fn
+
+        if not self._tables_built:
+            self.build_tables()
+        x = jnp.asarray(x)
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
+            if self.config.normalize_input_image:
+                x = x * 2.0 - 1.0
+        else:
+            x = x.astype(jnp.float32)
+        spatial_shape = tuple(int(s) for s in x.shape[1:3])
+        n = mesh.shape[DATA_AXIS]
+        x = pad_factor(x, (n * ENC_SCALE, ENC_SCALE))
+
+        if not hasattr(self, "_sp_encode_cache"):
+            self._sp_encode_cache = {}
+        key = (id(mesh), halo_image)
+        if key not in self._sp_encode_cache:
+            enc = lambda p, t: self._model.apply(
+                {"params": p}, t, method=HiFiC.encoder_forward)
+            self._sp_encode_cache[key] = spatial_encode_fn(
+                enc, mesh, halo=halo_image)
+        y = self._sp_encode_cache[key](self.params, x)
+        # Assemble latents off the mesh; the downstream hyper/symbol stages
+        # are image-resolution/256 work and run on the default device.
+        y = jnp.asarray(np.asarray(y))
+        z_sym, y_sym, idx, hb, lb = (np.asarray(a) for a in
+                                     self._compress_syms_lat_p(
+                                         self.params, y,
+                                         self._scale_table_dev))
+        return self._finish_compress(z_sym, y_sym, idx, float(hb), float(lb),
+                                     spatial_shape)
+
+    def decompress_spatial(self, out: CompressionOutput, mesh,
+                           halo_latents: int = 16,
+                           as_uint8: bool = False) -> np.ndarray:
+        """Decompress with the generator sharded over `mesh`'s data axis.
+        Pixel-identical to `decompress(out)` (same symbols by construction;
+        SP windows are exact — tests/test_spatial.py)."""
+        from hific_tpu.parallel.mesh import DATA_AXIS
+        from hific_tpu.parallel.spatial import spatial_generate_fn
+
+        if not self._tables_built:
+            self.build_tables()
+        z_sym_np = self.factorized.decompress_symbols(
+            out.hyperlatents_encoded, out.batch_shape,
+            out.hyperlatent_spatial_shape, vectorize=self.vectorize,
+            sharded=out.sharded)
+        z_sym = jnp.asarray(_to_nhwc_int(z_sym_np), jnp.int16)
+        mu, sigma, idx = self._synth_stats_p(self.params, z_sym,
+                                             self._scale_table_dev)
+        idx_np = _to_nchw(idx).astype(np.int32)
+        y_sym_np = self.conditional.decompress_symbols(
+            out.latents_encoded, idx_np, vectorize=self.vectorize,
+            sharded=out.sharded)
+        y_hat = jnp.asarray(_to_nhwc_int(y_sym_np), jnp.float32) + mu
+
+        n = mesh.shape[DATA_AXIS]
+        if int(y_hat.shape[1]) % n != 0:
+            raise ValueError(
+                f"latent rows {y_hat.shape[1]} not divisible by the mesh's "
+                f"{n} data-axis devices; use decompress() or re-encode with "
+                "compress_spatial (which pads rows for the mesh)")
+        if not hasattr(self, "_sp_generate_cache"):
+            self._sp_generate_cache = {}
+        key = (id(mesh), halo_latents)
+        if key not in self._sp_generate_cache:
+            def gen(p, lat):
+                shape = (lat.shape[1] * ENC_SCALE, lat.shape[2] * ENC_SCALE)
+                return self._model.apply({"params": p}, lat, shape,
+                                         method=HiFiC.generate)
+            self._sp_generate_cache[key] = spatial_generate_fn(
+                gen, mesh, halo_latents=halo_latents)
+        img = np.asarray(self._sp_generate_cache[key](self.params, y_hat))
+        h, w = out.spatial_shape
+        img = img[:, :h, :w]
+        if as_uint8:
+            img = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        return img
+
     def reconstruct(self, x) -> np.ndarray:
         """Eval-mode reconstruction WITHOUT entropy coding (the reference's
         `--reconstruct` mode, compress.py:225): pad -> encode -> hard
@@ -833,9 +946,11 @@ class Codec:
         if all(self._device_encode_eligible(x, None) for _, x in prepped):
             # Device entropy encode: every image is one fused program, and
             # consecutive same-shape HOST images are batched pipeline_chunk
-            # at a time into a single vmapped program (one upload, one
-            # dispatch, one fetch per chunk). All chunks are enqueued
-            # before blocking on any fetch.
+            # at a time into a single UNROLLED-stack program (one upload,
+            # one dispatch, one fetch per chunk; vmap would select-ify the
+            # escape lax.conds for ~2x compute — see _device_compress_batch_p
+            # and PERF.md). All chunks are enqueued before blocking on any
+            # fetch.
             chunk = self.pipeline_chunk
             staged_dev = []
             i, n = 0, len(prepped)

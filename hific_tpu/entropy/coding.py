@@ -27,6 +27,15 @@ matters):
   bug (entropy_coding.py:399-410 / 641-651) that corrupts any overflow
   needing >1 nibble; for the single-nibble overflows that occur in
   practice the two formats are bit-identical.
+
+Reference-compatibility envelope (pinned by tests/test_reference_interop.py):
+- scalar streams: ALWAYS interoperable, any escape width (the reference's
+  scalar coder at entropy_coding.py:479-558 is correct; byte-equality +
+  cross-decode tested up to 2^20 escapes).
+- vectorized streams: interoperable iff every escape payload fits one
+  nibble (|folded overflow| <= 15) — the practical case on real images.
+  Wider vectorized escapes round-trip under OUR coder but not under the
+  reference's own (oracle-proven: its self-round-trip corrupts them).
 """
 
 from concurrent.futures import ThreadPoolExecutor
@@ -313,9 +322,12 @@ def decode_indexed(encoded, indices, cdf, cdf_length, cdf_offset, precision,
 
 
 def _lane_splits(n_lanes: int, shards: int):
+    # Exact integer arithmetic: these bounds are part of the persisted v2
+    # format (re-derived at decode), so they must be bit-identical across
+    # numpy versions/platforms — no float intermediates.
     shards = max(1, min(int(shards), n_lanes))
-    bounds = np.linspace(0, n_lanes, shards + 1).astype(np.int64)
-    return [(int(bounds[k]), int(bounds[k + 1])) for k in range(shards)]
+    bounds = [k * n_lanes // shards for k in range(shards + 1)]
+    return [(bounds[k], bounds[k + 1]) for k in range(shards)]
 
 
 def encode_indexed_sharded(symbols, indices, cdf, cdf_length, cdf_offset,
@@ -359,14 +371,25 @@ def decode_indexed_sharded(encoded, indices, cdf, cdf_length, cdf_offset,
         inverse_table = build_inverse_table(cdf, cdf_length, precision)
 
     encoded = np.asarray(encoded, np.uint32)
+    if encoded.size < 1:
+        raise ValueError("corrupt sharded payload: empty")
     k = int(encoded[0])
-    lens = encoded[1 : 1 + k].astype(np.int64)
-    offs = np.concatenate([[1 + k], 1 + k + np.cumsum(lens)]).astype(np.int64)
 
     n = indices.shape[0]
     idx_l = _lane_layout(indices) if n == 1 else indices.reshape(n, -1)
-    splits = _lane_splits(idx_l.shape[1], k)
-    assert len(splits) == k, "shard count exceeds lane count"
+    n_lanes = idx_l.shape[1]
+    if not 1 <= k <= n_lanes:
+        raise ValueError(
+            f"corrupt sharded payload: shard count {k} not in [1, {n_lanes}]")
+    if encoded.size < 1 + k:
+        raise ValueError("corrupt sharded payload: truncated shard-length header")
+    lens = encoded[1 : 1 + k].astype(np.int64)
+    if 1 + k + int(lens.sum()) != encoded.size:
+        raise ValueError(
+            f"corrupt sharded payload: header promises {1 + k + int(lens.sum())}"
+            f" words, payload has {encoded.size}")
+    offs = np.concatenate([[1 + k], 1 + k + np.cumsum(lens)]).astype(np.int64)
+    splits = _lane_splits(n_lanes, k)
 
     def _one(args):
         (lo, hi), stream = args

@@ -82,8 +82,10 @@ def _renorm(hi, lo, cursor, tail, active):
     pred = active & (hi == 0) & (lo < _RANS_L_LO)
     pred_u = pred.astype(jnp.uint32)
     k = jnp.cumsum(pred_u) - pred_u          # exclusive prefix: lane order
-    widx = jnp.minimum(cursor + k, jnp.uint32(tail.shape[0] - 1))
-    word = tail[widx]
+    # max(.., 0): with an empty tail the uint32 bound would wrap to 2^32-1,
+    # disabling the clamp and gathering from a size-0 array.
+    widx = jnp.minimum(cursor + k, jnp.uint32(max(tail.shape[0] - 1, 0)))
+    word = tail[widx] if tail.shape[0] else jnp.zeros_like(widx)
     hi = jnp.where(pred, lo, hi)             # h = (h << 32) | word
     lo = jnp.where(pred, word, lo)
     return hi, lo, cursor + jnp.sum(pred_u)
@@ -153,6 +155,10 @@ def decode_scan(stream, idx_l, t_pair, maxv, offs,
     Returns int32 (P, L) symbols, bit-exactly what the host decoder yields.
     """
     _, lanes = idx_l.shape
+    if stream.shape[0] < 2 * lanes:
+        raise ValueError(
+            f"stream too short for {lanes} 64-bit lanes: need >= {2 * lanes} "
+            f"uint32 head words, got {stream.shape[0]}")
     hi0 = stream[:lanes]
     lo0 = stream[lanes : 2 * lanes]
     tail = stream[2 * lanes :]

@@ -259,6 +259,7 @@ def test_packed_wire_escape_path(tiny_codec):
         codec._shape_cache.clear()
 
 
+@pytest.mark.slow
 def test_compress_many_chunk_batched_matches_serial(tiny_codec):
     """Chunk-batched device compression (vmapped program: one upload/
     dispatch/fetch per chunk of same-shape host images) emits byte-identical
@@ -436,7 +437,9 @@ def test_device_encode_matches_host_path(tiny_codec):
     assert host.hyperlatent_spatial_shape == dev.hyperlatent_spatial_shape
     assert host.latent_coding_shape == dev.latent_coding_shape
 
-    auto = tiny_codec.compress(x)                       # auto-selects device
+    # compress() defaults to the host coder; compress_many is what
+    # auto-selects the device path (checked against `want8` below).
+    auto = tiny_codec.compress(x)
     np.testing.assert_array_equal(auto.latents_encoded, host.latents_encoded)
 
     recon_h = tiny_codec.decompress(host, as_uint8=True)
