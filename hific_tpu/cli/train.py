@@ -69,6 +69,11 @@ def parse_args(argv=None):
                    help="torchvision backbone state_dict (.pth); without "
                         "it (or --lpips_weights) the backbone is a seeded "
                         "random init — NOT perceptually calibrated")
+    p.add_argument("--uncalibrated_lpips_ok", action="store_true",
+                   help="explicitly accept training on random-backbone "
+                        "(uncalibrated) LPIPS when no calibrated backbone "
+                        "is available; without this flag the CLI refuses "
+                        "rather than silently optimizing random features")
     p.add_argument("--log_interval", type=int, default=1000)
     p.add_argument("--save_interval", type=int, default=50000)
     p.add_argument("--warmstart_ckpt", default=None)
@@ -122,12 +127,20 @@ def make_lpips_apply(a, logger=None):
                                     lin_path=a.lpips_lin_path,
                                     backbone_path=a.lpips_backbone_path,
                                     params_npz=a.lpips_weights)
-    if not calibrated and logger is not None:
-        logger.warning(
-            "LPIPS backbone is a seeded RANDOM init (lin heads calibrated, "
-            "backbone not): the perceptual term trains on random-feature "
-            "LPIPS. Pass --lpips_backbone_path / --lpips_weights for true "
-            "LPIPS, or --no_lpips to drop the term.")
+    if not calibrated:
+        if not getattr(a, "uncalibrated_lpips_ok", False):
+            raise SystemExit(
+                "LPIPS backbone is a seeded RANDOM init (lin heads "
+                "calibrated, backbone not): the perceptual term would "
+                "train on random-feature LPIPS. Pass --lpips_backbone_path "
+                "/ --lpips_weights for true LPIPS, --no_lpips to drop the "
+                "term, or --uncalibrated_lpips_ok to proceed knowingly "
+                "(the reference trains with calibrated LPIPS "
+                "unconditionally, model.py:105).")
+        if logger is not None:
+            logger.warning(
+                "--uncalibrated_lpips_ok: training on random-backbone "
+                "LPIPS (lin heads calibrated, backbone random).")
 
     def lpips_apply(x_gen, x_real):
         return fn(x_gen, x_real, normalize=True)

