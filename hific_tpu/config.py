@@ -86,6 +86,10 @@ class Config:
     # Compute
     dtype: str = "float32"  # compute dtype for conv stacks ('bfloat16' on TPU)
     use_pallas_norm: bool = False  # fused ChannelNorm+act Pallas kernel
+    # Space-to-depth reparametrization of the encoder stem + first
+    # downsample (ops/s2d.py): exact same math/params on a half-res packed
+    # grid with ~4x the lane occupancy of the layout-bound full-res stages.
+    s2d_encoder_front: bool = False
     use_remat: bool = False  # rematerialize resblocks (memory for FLOPs)
 
     # Rate target resolved from regime unless explicitly set

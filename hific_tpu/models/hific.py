@@ -58,7 +58,8 @@ class HiFiC(nn.Module):
 
         norm_backend = "pallas" if cfg.use_pallas_norm else "xla"
         self.encoder = Encoder(C=C, norm_type=cfg.norm_type,
-                               norm_backend=norm_backend, dtype=dtype)
+                               norm_backend=norm_backend, dtype=dtype,
+                               s2d_front=cfg.s2d_encoder_front)
         self.generator = Generator(
             C=C,
             n_residual_blocks=cfg.n_residual_blocks,

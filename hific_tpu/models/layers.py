@@ -56,6 +56,50 @@ class Conv(nn.Module):
         )(x)
 
 
+class _ConvParamsInner(nn.Module):
+    """Declares Conv-compatible params without running the conv (used by
+    reparametrized paths that consume the raw kernel). Initializers match
+    nn.Conv's defaults exactly, so checkpoints are interchangeable."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, k, in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
+class ConvParams(nn.Module):
+    """Param-tree twin of `Conv` (path <name>/Conv_0/{kernel,bias}): lets a
+    reparametrized compute path (e.g. ops/s2d.py) share the exact same
+    checkpoint tree as the standard path."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return _ConvParamsInner(self.features, self.kernel_size,
+                                name="Conv_0")(in_features)
+
+
+class NormParams(nn.Module):
+    """Param-tree twin of `Norm` (channel norm): <name>/{gamma,beta}."""
+
+    @nn.compact
+    def __call__(self, n_channels: int):
+        gamma = self.param("gamma", nn.initializers.ones, (n_channels,),
+                           jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (n_channels,),
+                          jnp.float32)
+        return gamma, beta
+
+
 class ConvTranspose(nn.Module):
     """torch.nn.ConvTranspose2d equivalent via input-dilated convolution.
 
