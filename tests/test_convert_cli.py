@@ -8,6 +8,7 @@ import pytest
 torch = pytest.importorskip("torch")
 
 
+@pytest.mark.slow
 def test_convert_cli_roundtrip(tmp_path):
     from tests.test_convert_torch import _synthetic_reference_state_dict
     from hific_tpu.cli import convert as convert_cli

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hific_tpu.tiling import tiled_apply
 
@@ -37,6 +38,7 @@ def test_tiling_single_tile_identity():
                                2.0 * np.asarray(x))
 
 
+@pytest.mark.slow
 def test_codec_tiled_decode_matches_whole():
     """Latent-space tiled generator decode vs whole decode: identical in the
     interior (same quantized latents — tiling only changes generator context
@@ -62,6 +64,7 @@ def test_codec_tiled_decode_matches_whole():
                                whole[:, 112:144, 112:144], atol=1e-4)
 
 
+@pytest.mark.slow
 def test_tiled_model_reconstruction():
     """Tiled eval forward of the tiny model: correct shape, and close to the
     whole-image forward away from seams."""
@@ -109,6 +112,7 @@ def test_tiled_model_reconstruction():
     assert tiled_q.shape == (1, 160, 224, 3) and np.isfinite(tiled_q).all()
 
 
+@pytest.mark.slow
 def test_codec_tiled_encode_bitexact_vs_whole():
     """Encode-side tiling: with halo >= the encoder receptive field, the
     tiled compression of a large image produces a BYTE-IDENTICAL container
