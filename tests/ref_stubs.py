@@ -85,6 +85,49 @@ def install_reference_stubs():
         tv.utils = tv_utils
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.utils"] = tv_utils
+    # src/helpers/datasets.py imports transforms/datasets, and
+    # pretrained_networks.py imports models, all at module scope; the
+    # oracle tests never construct them (PerceptualLoss is monkeypatched),
+    # so inert submodules suffice.
+    tv = sys.modules["torchvision"]
+    for sub in ("transforms", "datasets", "models"):
+        name = f"torchvision.{sub}"
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            sys.modules[name] = mod
+        setattr(tv, sub, sys.modules[name])
+    # reference datasets.py subclasses these at class-definition time
+    if not hasattr(sys.modules["torchvision.datasets"], "Cityscapes"):
+        sys.modules["torchvision.datasets"].Cityscapes = object
+    if not hasattr(sys.modules["torchvision.transforms"], "Compose"):
+        sys.modules["torchvision.transforms"].Compose = \
+            lambda ts: (lambda x: x)
+
+    # src/helpers/datasets.py: `from skimage.io import imread` (only used
+    # by dataset classes the tests never instantiate; route through PIL so
+    # it would even work).
+    if "skimage" not in sys.modules:
+        import numpy as _np
+        from PIL import Image as _Image
+
+        sk = types.ModuleType("skimage")
+        sk.__path__ = []  # mark as package so submodule imports resolve
+        sk_io = types.ModuleType("skimage.io")
+        sk_io.imread = lambda p: _np.asarray(_Image.open(p))
+        sk_measure = types.ModuleType("skimage.measure")
+        sk_measure.compare_ssim = None
+        sk_transform = types.ModuleType("skimage.transform")
+        sk_transform.resize = None
+        sk_color = types.ModuleType("skimage.color")
+        sk.io = sk_io
+        sk.measure = sk_measure
+        sk.transform = sk_transform
+        sk.color = sk_color
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.io"] = sk_io
+        sys.modules["skimage.measure"] = sk_measure
+        sys.modules["skimage.transform"] = sk_transform
+        sys.modules["skimage.color"] = sk_color
 
     # Reference modules bind `make_vjp`/`vspace` at import time — upgrade
     # any that were imported against an older inert stub.

@@ -229,7 +229,7 @@ def test_quantization_margins_are_robust(ref_modules, ref_model, our_codec,
         z_round = torch.floor(z_t + 0.5)
         mu_t = ref_model.Hyperprior.synthesis_mu(z_round)
 
-    y_ours = np.asarray(our_codec._encode(jnp.asarray(image)))
+    y_ours = np.asarray(our_codec._encode(jnp.asarray(image))[0])
     z_ours = np.asarray(our_codec._hyper_analyze(jnp.asarray(y_ours)))
 
     y_ref = y_t.numpy().transpose(0, 2, 3, 1)
