@@ -93,6 +93,37 @@ def _calibrate(codec, base_params, x):
     return best
 
 
+def _device_envelope(model, base_params, alpha):
+    """r01-comparable device-resident metric: eval-mode forward roundtrip
+    (pad -> encode -> hyperprior hard-quantize -> generate -> unpad) on a
+    device-resident 1 MP image, scalar-fenced (on this tunneled transport
+    block_until_ready returns early; a scalar fetch fences reliably).
+    Excludes rANS and the wire by construction — NOT comparable with the
+    e2e headline."""
+    from hific_tpu.config import ModelModes
+
+    params = _scale_latents(base_params, alpha)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(_image(H, W, seed=7)[0][None], jnp.float32) / 255.0
+
+    @jax.jit
+    def roundtrip(params, x, rng):
+        intermediates, _ = model.apply(
+            {"params": params}, x, training=False,
+            mode=ModelModes.EVALUATION, rngs={"quantize": rng})
+        return intermediates.reconstruction, intermediates.q_bpp
+
+    rng0 = jax.random.PRNGKey(1)
+    jax.block_until_ready(roundtrip(params, x, rng0))
+    times = []
+    for i in range(10):
+        t0 = time.perf_counter()
+        out = roundtrip(params, x, jax.random.fold_in(rng0, i))
+        float(out[1])
+        times.append(time.perf_counter() - t0)
+    return (H * W / 1e6) / float(np.median(times))
+
+
 def main():
     from hific_tpu.codec import Codec
     from hific_tpu.config import mse_lpips_config
@@ -165,11 +196,25 @@ def main():
     print(f"pipelined x4: {total*1e3/4:.0f} ms/img | "
           f"bpp {np.mean(bpps[0]):.3f} | {mp_per_s:.2f} MP/s",
           file=sys.stderr)
+
+    envelope = _device_envelope(model, params, alpha)
+    print(f"device envelope (eval forward roundtrip, no rANS/wire): "
+          f"{envelope:.2f} MP/s", file=sys.stderr)
+
+    # One JSON line; headline is the honest end-to-end number
+    # (r02-comparable). `extra.device_envelope_mp_s` is the r01-comparable
+    # device-resident forward roundtrip so rounds diff cleanly (VERDICT r2
+    # weak #6: the two metrics are NOT comparable with each other).
     print(json.dumps({
         "metric": "codec_throughput_e2e_pipelined4x1MP",
         "value": round(mp_per_s, 3),
         "unit": "megapixels/sec/chip",
         "vs_baseline": round(mp_per_s / REFERENCE_MP_PER_S, 2),
+        "extra": {
+            "device_envelope_mp_s": round(envelope, 3),
+            "serial_e2e_mp_s": round(serial, 3),
+            "bpp": round(float(np.mean(bpps[0])), 4),
+        },
     }))
 
 
