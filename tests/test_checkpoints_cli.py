@@ -108,6 +108,10 @@ def test_train_and_compress_cli(tmp_path, image_dir):
         "--latent_channels", "8", "--n_residual_blocks", "1",
         "--hyperlatent_filters", "16",
         "--log_interval", "2", "--save_interval", "100",
+        # keep the default k_P LPIPS term in the e2e loss: no calibrated
+        # backbone ships in CI, so acknowledge the random-feature backbone
+        # explicitly (the gate otherwise refuses to train, by design)
+        "--uncalibrated_lpips_ok",
     ])
     assert os.path.exists(ckpt_path)
     ckpt_dir = os.path.dirname(ckpt_path)
@@ -132,6 +136,23 @@ def test_train_and_compress_cli(tmp_path, image_dir):
     assert os.path.exists(os.path.join(out_dir, "metrics.json"))
     with open(os.path.join(out_dir, "metrics.json")) as f:
         assert len(json.load(f)) == 3
+
+    # --- decode-only CLI: reconstruct from the .hfc files alone and match
+    # the compress CLI's reconstructions pixel-exactly (same decode path,
+    # same uint8 quantization) ---
+    from PIL import Image
+
+    from hific_tpu.cli import decompress as decompress_cli
+
+    dec_dir = str(tmp_path / "dec")
+    written = decompress_cli.main(
+        ["-ckpt", ckpt_dir, "-i", out_dir, "-o", dec_dir, "--pipeline", "2"])
+    assert len(written) == 3
+    for png in written:
+        name = os.path.splitext(os.path.basename(png))[0]
+        ref_png = os.path.join(out_dir, name + "_recon.png")
+        np.testing.assert_array_equal(np.asarray(Image.open(png)),
+                                      np.asarray(Image.open(ref_png)))
 
     # --- eval harness (Kodak-style parity table + expected-values diff) ---
     from hific_tpu.cli import eval_kodak
