@@ -820,8 +820,10 @@ class Codec:
                            halo_latents: int = 16,
                            as_uint8: bool = False) -> np.ndarray:
         """Decompress with the generator sharded over `mesh`'s data axis.
-        Pixel-identical to `decompress(out)` (same symbols by construction;
-        SP windows are exact — tests/test_spatial.py)."""
+        Same symbols as `decompress(out)` by construction and SP windows
+        are exact; pixels agree to float noise (<=1 u8 step) because the
+        d2s packed tail's conv summation order is slab-shape-dependent
+        (tests/test_spatial.py)."""
         from hific_tpu.parallel.mesh import DATA_AXIS
         from hific_tpu.parallel.spatial import spatial_generate_fn
 

@@ -90,6 +90,13 @@ class Config:
     # downsample (ops/s2d.py): exact same math/params on a half-res packed
     # grid with ~4x the lane occupancy of the layout-bound full-res stages.
     s2d_encoder_front: bool = False
+    # Depth-to-space reparametrization of the generator's final upsample +
+    # RGB projection (ops/d2s.py): exact same math/params on the half-res
+    # packed grid. ON by default: measured -23% on the whole flagship
+    # generator forward (32.3 -> 24.9 ms/img at 1 MP bf16) and neutral on
+    # the training step (PERF.md round 3). Falls back to the standard tail
+    # automatically for non-channel norms.
+    d2s_generator_tail: bool = True
     use_remat: bool = False  # rematerialize resblocks (memory for FLOPs)
 
     # Rate target resolved from regime unless explicitly set

@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from hific_tpu.models.layers import Conv, ConvTranspose, Norm
+from hific_tpu.models.layers import (Conv, ConvParams, ConvTranspose,
+                                     ConvTransposeParams, Norm, NormParams)
 from hific_tpu.ops.padding import reflect_pad
 
 GENERATOR_FILTERS = (960, 480, 240, 120, 60)
@@ -50,6 +51,11 @@ class Generator(nn.Module):
     # HBM so large batches fit (the residual trunk holds 2 x 960ch
     # activations per block otherwise)
     dtype: Optional[jnp.dtype] = None
+    # Run the final upsample + RGB projection on the depth-to-space packed
+    # half-res grid (ops/d2s.py): exact weight reparametrization of the
+    # same params; the full-res 60ch/3ch stages are layout-bound on TPU.
+    # Only valid with channel norm + relu (the per-phase norm fusion).
+    d2s_tail: bool = False
 
     n_upsampling_layers: int = 4
 
@@ -79,13 +85,26 @@ class Generator(nn.Module):
             )(x)
         x = x + head  # global skip (reference generator.py:161)
 
-        for i in range(4):
+        use_d2s = (self.d2s_tail and self.norm_type == "channel"
+                   and self.activation == "relu")
+        last = 3 if use_d2s else 4
+        for i in range(last):
             x = ConvTranspose(
                 f[i + 1], 3, stride=2, padding=1, output_padding=1,
                 dtype=self.dtype, name=f"upconv{i}",
             )(x)
             x = Norm(self.norm_type, self.activation, self.norm_backend,
                      name=f"norm_up{i}")(x)
+
+        if use_d2s:
+            from hific_tpu.ops.d2s import generator_tail_d2s
+
+            w_up, b_up = ConvTransposeParams(f[4], 3, dtype=self.dtype,
+                                             name="upconv3")(f[3])
+            gamma, beta = NormParams(name="norm_up3")(f[4])
+            w_out, b_out = ConvParams(3, 7, name="conv_out")(f[4])
+            return generator_tail_d2s(x, w_up, b_up, gamma, beta,
+                                      w_out, b_out, dtype=self.dtype)
 
         x = reflect_pad(x, 3)
         x = Conv(3, 7, stride=1, dtype=self.dtype, name="conv_out")(x)

@@ -69,6 +69,7 @@ class HiFiC(nn.Module):
             noise_dim=cfg.noise_dim,
             use_remat=cfg.use_remat,
             dtype=dtype,
+            d2s_tail=cfg.d2s_generator_tail,
         )
         if cfg.use_latent_mixture_model:
             self.hyperprior = HyperpriorDLMM(

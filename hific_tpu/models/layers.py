@@ -88,6 +88,26 @@ class ConvParams(nn.Module):
                                 name="Conv_0")(in_features)
 
 
+class ConvTransposeParams(nn.Module):
+    """Param-tree twin of `ConvTranspose` (path <name>/{kernel,bias}):
+    unlike Conv, ConvTranspose declares its params at the module's own
+    level, so the twin does too."""
+
+    features: int
+    kernel_size: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, k, in_features, self.features),
+                            self.dtype or jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.dtype or jnp.float32)
+        return kernel, bias
+
+
 class NormParams(nn.Module):
     """Param-tree twin of `Norm` (channel norm): <name>/{gamma,beta}."""
 

@@ -90,10 +90,19 @@ def ref_lpips():
         "autograd.extend": {"vspace": None, "VSpace": object},
     }
     for name, attrs in stubs.items():
-        if name in sys.modules:
-            continue
         if name == "torchvision.models":
-            sys.modules[name] = _make_models()
+            # ref_stubs.install() (other reference-parity tests) may have
+            # planted a bare torchvision.models first; upgrade it in place
+            # with the backbone constructors this module needs
+            existing = sys.modules.get(name)
+            if existing is None:
+                sys.modules[name] = _make_models()
+            elif not hasattr(existing, "alexnet"):
+                rich = _make_models()
+                for k in ("alexnet", "vgg16", "squeezenet1_1"):
+                    setattr(existing, k, getattr(rich, k))
+            continue
+        if name in sys.modules:
             continue
         mod = types.ModuleType(name)
         for k, v in (attrs or {}).items():
