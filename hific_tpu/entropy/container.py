@@ -18,6 +18,7 @@ never start with 0xFFFF — that would be a >4-megapixel-TALL hyperlatent
 grid — so the reader distinguishes the versions from the first two bytes.
 """
 
+import io
 import os
 from typing import NamedTuple, Tuple
 
@@ -56,42 +57,37 @@ def _read_u16(f, n):
     return tuple(int(np.frombuffer(f.read(2), np.uint16)[0]) for _ in range(n))
 
 
-def save_compressed(out: CompressionOutput, path: str) -> Tuple[float, float]:
-    """Write the container; returns (actual_bpp, theoretical_bpp)."""
-    with open(path, "wb") as f:
-        if out.sharded:
-            f.write(V2_MAGIC)
-        _write_u16(f, out.hyperlatent_spatial_shape)
-        _write_u16(f, out.spatial_shape)
-        _write_u16(f, out.hyper_coding_shape)
-        _write_u16(f, out.latent_coding_shape)
-        _write_u16(f, [out.batch_shape])
+def _save_to(f, out: CompressionOutput) -> None:
+    if out.sharded:
+        f.write(V2_MAGIC)
+    _write_u16(f, out.hyperlatent_spatial_shape)
+    _write_u16(f, out.spatial_shape)
+    _write_u16(f, out.hyper_coding_shape)
+    _write_u16(f, out.latent_coding_shape)
+    _write_u16(f, [out.batch_shape])
+    f.write(MAGIC)
+    for stream in (out.hyperlatents_encoded, out.latents_encoded):
+        stream = np.ascontiguousarray(stream, dtype=np.uint32)
+        f.write(np.uint32(stream.nbytes).tobytes())
+        f.write(stream.tobytes())
         f.write(MAGIC)
-        for stream in (out.hyperlatents_encoded, out.latents_encoded):
-            stream = np.ascontiguousarray(stream, dtype=np.uint32)
-            f.write(np.uint32(stream.nbytes).tobytes())
-            f.write(stream.tobytes())
-            f.write(MAGIC)
-    actual_bpp = 8.0 * os.path.getsize(path) / float(np.prod(out.spatial_shape))
-    return actual_bpp, float(out.total_bpp)
 
 
-def load_compressed(path: str) -> CompressionOutput:
-    with open(path, "rb") as f:
-        sharded = f.read(len(V2_MAGIC)) == V2_MAGIC
-        if not sharded:
-            f.seek(0)
-        hyper_spatial = _read_u16(f, 2)
-        spatial = _read_u16(f, 2)
-        hyper_coding = _read_u16(f, 3)
-        latent_coding = _read_u16(f, 3)
-        (batch,) = _read_u16(f, 1)
-        assert f.read(4) == MAGIC, "corrupt container (header)"
-        streams = []
-        for _ in range(2):
-            nbytes = int(np.frombuffer(f.read(4), np.uint32)[0])
-            streams.append(np.frombuffer(f.read(nbytes), np.uint32).copy())
-            assert f.read(4) == MAGIC, "corrupt container (payload)"
+def _load_from(f) -> CompressionOutput:
+    sharded = f.read(len(V2_MAGIC)) == V2_MAGIC
+    if not sharded:
+        f.seek(0)
+    hyper_spatial = _read_u16(f, 2)
+    spatial = _read_u16(f, 2)
+    hyper_coding = _read_u16(f, 3)
+    latent_coding = _read_u16(f, 3)
+    (batch,) = _read_u16(f, 1)
+    assert f.read(4) == MAGIC, "corrupt container (header)"
+    streams = []
+    for _ in range(2):
+        nbytes = int(np.frombuffer(f.read(4), np.uint32)[0])
+        streams.append(np.frombuffer(f.read(nbytes), np.uint32).copy())
+        assert f.read(4) == MAGIC, "corrupt container (payload)"
     return CompressionOutput(
         hyperlatents_encoded=streams[0],
         latents_encoded=streams[1],
@@ -102,3 +98,32 @@ def load_compressed(path: str) -> CompressionOutput:
         batch_shape=batch,
         sharded=sharded,
     )
+
+
+def save_compressed(out: CompressionOutput, path: str) -> Tuple[float, float]:
+    """Write the container; returns (actual_bpp, theoretical_bpp)."""
+    with open(path, "wb") as f:
+        _save_to(f, out)
+    actual_bpp = 8.0 * os.path.getsize(path) / float(np.prod(out.spatial_shape))
+    return actual_bpp, float(out.total_bpp)
+
+
+def load_compressed(path: str) -> CompressionOutput:
+    with open(path, "rb") as f:
+        return _load_from(f)
+
+
+def dumps_compressed(out: CompressionOutput) -> Tuple[bytes, float, float]:
+    """Serialize to bytes (identical wire format to `save_compressed`);
+    returns (payload, actual_bpp, theoretical_bpp). The serving send side:
+    no filesystem round trip."""
+    buf = io.BytesIO()
+    _save_to(buf, out)
+    data = buf.getvalue()
+    actual_bpp = 8.0 * len(data) / float(np.prod(out.spatial_shape))
+    return data, actual_bpp, float(out.total_bpp)
+
+
+def loads_compressed(data: bytes) -> CompressionOutput:
+    """Parse a container from bytes (the serving receive side)."""
+    return _load_from(io.BytesIO(data))

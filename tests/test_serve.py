@@ -1,0 +1,97 @@
+"""HTTP serving daemon (cli/serve.py): drive a real server on an
+ephemeral port — compress an image over HTTP, get `.hfc` bytes back,
+decompress them over HTTP, and match the direct Codec paths exactly."""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from hific_tpu.config import mse_lpips_config
+from hific_tpu.training import checkpoints
+from hific_tpu.training.train_step import create_train_state
+
+TINY = dict(latent_channels=8, n_residual_blocks=1, hyperlatent_filters=16)
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    from hific_tpu.cli import serve as serve_cli
+
+    ckpt_dir = str(tmp_path_factory.mktemp("ckpt"))
+    config = mse_lpips_config(**TINY)
+    state = create_train_state(config, jax.random.PRNGKey(0))
+    checkpoints.save_checkpoint(ckpt_dir, state, config, step=1)
+
+    a = serve_cli.parse_args(["-ckpt", ckpt_dir, "--port", "0"])
+    server = serve_cli.make_server(a)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address[:2]
+    yield f"http://{host}:{port}", server.service
+    server.shutdown()
+    server.server_close()
+
+
+def _post(url, body):
+    req = urllib.request.Request(url, data=body, method="POST")
+    with urllib.request.urlopen(req) as r:
+        return r.status, r.read(), dict(r.headers)
+
+
+def test_serve_roundtrip_matches_codec(served):
+    from PIL import Image
+
+    base, service = served
+
+    # health first: model restored, tables built
+    with urllib.request.urlopen(base + "/healthz") as r:
+        health = json.loads(r.read())
+    assert health["status"] == "ok" and health["tables_built"]
+
+    rng = np.random.RandomState(0)
+    arr = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+
+    status, hfc, headers = _post(base + "/compress", buf.getvalue())
+    assert status == 200
+    assert float(headers["X-Bpp"]) > 0
+    assert headers["X-Shape"] == "48x64"
+
+    # the served payload is byte-identical to the direct Codec container
+    from hific_tpu.entropy.container import dumps_compressed
+
+    direct = service.codec.compress(arr[None])
+    want, _, _ = dumps_compressed(direct)
+    assert hfc == want
+
+    status, png, _ = _post(base + "/decompress", hfc)
+    assert status == 200
+    got = np.asarray(Image.open(io.BytesIO(png)))
+    want_img = np.asarray(service.codec.decompress(direct, as_uint8=True))[0]
+    np.testing.assert_array_equal(got, want_img)
+
+    # counters moved
+    with urllib.request.urlopen(base + "/stats") as r:
+        stats = json.loads(r.read())
+    assert stats["compress_requests"] == 1
+    assert stats["decompress_requests"] == 1
+    assert stats["errors"] == 0
+
+
+def test_serve_bad_payload_is_a_400_not_a_crash(served):
+    base, service = served
+    req = urllib.request.Request(base + "/decompress", data=b"not a container",
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 400
+    # server still alive
+    with urllib.request.urlopen(base + "/healthz") as r:
+        assert json.loads(r.read())["status"] == "ok"
