@@ -86,6 +86,15 @@ def parse_args(argv=None):
                         "all-reduces ride ICI within slices and only one "
                         "small reduction crosses DCN; default auto-detects "
                         "slice topology")
+    p.add_argument("--device_data", action="store_true",
+                   help="upload the WHOLE corpus to device memory once and "
+                        "draw crops/flips with an on-device jitted sampler "
+                        "(zero per-step host uploads; needs uniformly-sized "
+                        "images that fit HBM — pre-cropped tiles)")
+    p.add_argument("--max_rss_gb", type=float, default=-1.0,
+                   help="checkpoint and exit cleanly if host RSS exceeds "
+                        "this (default: 90%% of system RAM; 0 disables) — "
+                        "turns an OOM SIGKILL into a resumable stop")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--use_remat", action="store_true",
@@ -206,10 +215,26 @@ def main(argv=None):
             step_d = jax.jit(step_d, donate_argnums=(0,))
         put = jnp.asarray
 
-    dataset = TrainDataset(a.dataset_path, crop_size=config.crop_size,
-                           normalize=config.normalize_input_image,
-                           seed=a.seed)
-    batches = prefetch(dataset.batches(config.batch_size), size=4)
+    if a.device_data:
+        if a.data_parallel:
+            raise SystemExit("--device_data + --data_parallel is not "
+                             "composed yet; drop one of them")
+        from hific_tpu.training.data import DeviceDataset
+
+        dataset = DeviceDataset(a.dataset_path, crop_size=config.crop_size,
+                                batch_size=config.batch_size,
+                                normalize=config.normalize_input_image,
+                                seed=a.seed)
+        logger.info("Device-resident dataset: %s (%.0f MB in HBM)",
+                    dataset.data.shape, dataset.data.size / 1e6)
+        batches = dataset.batches()  # already on device; no prefetch thread
+    else:
+        # uint8 batches: 1 B/px over the wire, normalized on device to the
+        # same values the float pipeline produced (train_step.ingest_batch)
+        dataset = TrainDataset(a.dataset_path, crop_size=config.crop_size,
+                               normalize=config.normalize_input_image,
+                               seed=a.seed, out_dtype="uint8")
+        batches = prefetch(dataset.batches(config.batch_size), size=4)
 
     eval_batch = None
     eval_fn = None
@@ -238,6 +263,25 @@ def main(argv=None):
             f"-steps {config.n_steps} <= restored step {start_step}: "
             f"nothing to train. Steps count from 0 across phases; pass "
             f"the total budget (restored + new steps).")
+    def _rss_gb() -> float:
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS"):
+                        return int(line.split()[1]) / 1e6
+        except OSError:
+            pass
+        return 0.0
+
+    max_rss_gb = a.max_rss_gb
+    if max_rss_gb < 0:  # default: 90% of system RAM
+        try:
+            with open("/proc/meminfo") as f:
+                total_kb = int(f.readline().split()[1])
+            max_rss_gb = 0.9 * total_kb / 1e6
+        except OSError:
+            max_rss_gb = 0.0
+
     logger.info("Starting training for %d steps", config.n_steps)
     train_generator, d_steps_taken = True, 0
     t0, last_log_step = time.time(), 0
@@ -262,7 +306,20 @@ def main(argv=None):
                         (step - last_log_step) * config.batch_size
                         * (1 + config.discriminator_steps)
                         / max(time.time() - t0, 1e-9))
+                    scalars["host_rss_gb"] = _rss_gb()
                     writer.write(step, scalars, prefix="train/")
+                    if max_rss_gb and scalars["host_rss_gb"] > max_rss_gb:
+                        # checkpoint + clean stop beats the kernel's SIGKILL
+                        # (the tunneled transport retains every uploaded
+                        # byte — PERF.md round 3b; --device_data avoids it)
+                        path = checkpoints.save_checkpoint(
+                            ckpt_dir, state, config)
+                        raise SystemExit(
+                            f"host RSS {scalars['host_rss_gb']:.1f} GB > "
+                            f"--max_rss_gb {max_rss_gb:.1f}: checkpointed "
+                            f"{path}; resume with --resume_ckpt (or train "
+                            f"with --device_data to avoid per-step upload "
+                            f"retention)")
                     logger.info(
                         "step %d | loss %.3f | q_bpp %.3f | %.1f img/s",
                         step, scalars["weighted_compression_loss"],

@@ -50,7 +50,8 @@ class TrainDataset:
     """Random-scale + random-crop + hflip training pipeline."""
 
     def __init__(self, root_or_files, crop_size: int = 256,
-                 normalize: bool = False, seed: int = 0):
+                 normalize: bool = False, seed: int = 0,
+                 out_dtype: str = "float32"):
         if isinstance(root_or_files, str):
             self.files = list_images(root_or_files)
         else:
@@ -59,6 +60,12 @@ class TrainDataset:
             raise ValueError("no training images found")
         self.crop_size = crop_size
         self.normalize = normalize
+        # 'uint8' ships 1 B/px to the device (4x less wire AND 4x less of
+        # the per-upload host memory the tunneled transport retains — see
+        # PERF.md round 3b); the train step normalizes on device to the
+        # SAME values the float path produces (x/255 [, *2-1]).
+        assert out_dtype in ("float32", "uint8")
+        self.out_dtype = out_dtype
         self.rng = np.random.RandomState(seed)
 
     def _sample(self) -> Optional[Tuple[np.ndarray, float]]:
@@ -89,6 +96,8 @@ class TrainDataset:
         img = img[top : top + crop, left : left + crop]
         if rng.rand() < 0.5:
             img = img[:, ::-1]
+        if self.out_dtype == "uint8":
+            return np.ascontiguousarray(img), bpp
         x = img.astype(np.float32) / 255.0
         if self.normalize:
             x = x * 2.0 - 1.0
@@ -135,6 +144,106 @@ class TrainDataset:
                 if len(imgs) == batch_size:
                     yield np.stack(imgs), np.asarray(bpps, np.float32)
                     imgs, bpps = [], []
+
+
+class DeviceDataset:
+    """Device-RESIDENT training corpus: the whole dataset uploads to HBM
+    once (uint8), then every batch is drawn by a jitted on-device sampler
+    (random image pick + random crop + horizontal flip via jax.random) —
+    ZERO steady-state host->device traffic.
+
+    Why this exists: per-step batch uploads are pure overhead the codec
+    never needs (images are static data), and on the tunneled transport
+    every uploaded byte is additionally RETAINED by the client (~6 MB/step
+    at batch 8, measured; PERF.md round 3b) — a multi-hour training run
+    gets OOM-killed by its own input pipeline. One upload sidesteps both.
+
+    Bounds/trade-offs vs `TrainDataset` (host pipeline):
+    - images must share one shape and fit HBM alongside the model
+      (pre-cropped tiles; e.g. 840 x 320px tiles = 258 MB),
+    - no random-scale jitter (resize needs dynamic shapes XLA can't
+      trace; for pre-cropped tiles the host pipeline's scale stage is
+      already a near-no-op),
+    - crop/flip sampling matches the host pipeline's distribution, not
+      its exact RNG stream.
+    """
+
+    def __init__(self, root_or_files, crop_size: int = 256,
+                 batch_size: int = 8, normalize: bool = False, seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        files = (list_images(root_or_files)
+                 if isinstance(root_or_files, str) else list(root_or_files))
+        if not files:
+            raise ValueError("no training images found")
+        imgs, bpps, shape = [], [], None
+        for path in files:
+            img = _load_image(path)
+            if img is None:
+                continue
+            if shape is None:
+                shape = img.shape
+            if img.shape != shape:
+                raise ValueError(
+                    f"DeviceDataset needs uniformly-sized images: {path} is "
+                    f"{img.shape}, first was {shape}. Pre-crop the corpus "
+                    "(or use the host TrainDataset pipeline).")
+            if min(shape[0], shape[1]) < crop_size:
+                raise ValueError(f"images ({shape[0]}x{shape[1]}) smaller "
+                                 f"than crop_size {crop_size}")
+            imgs.append(img)
+            bpps.append(_source_bpp(path, img.shape))
+        stacked = np.stack(imgs)  # (N, H, W, 3) u8
+        # Upload in <=24 MB slices and concatenate on device: the tunneled
+        # transport hangs on very large single host->device transfers (a
+        # 258 MB one-shot upload never completed; its remote_compile twin
+        # rejects large bodies with HTTP 413 — PERF.md round 3b).
+        per = max(1, int(24e6 // stacked[0].nbytes))
+        self.data = jnp.concatenate(
+            [jnp.asarray(stacked[i : i + per])
+             for i in range(0, len(stacked), per)], axis=0)
+        self.mean_bpp = float(np.mean(bpps))
+        self.seed = seed
+        n, h, w, _ = self.data.shape
+        crop = crop_size
+
+        def sample(data, key):
+            kidx, ky, kx, kf = jax.random.split(key, 4)
+            idx = jax.random.randint(kidx, (batch_size,), 0, n)
+            picked = jnp.take(data, idx, axis=0)
+            oy = jax.random.randint(ky, (batch_size,), 0, h - crop + 1)
+            ox = jax.random.randint(kx, (batch_size,), 0, w - crop + 1)
+            crops = jax.vmap(
+                lambda im, y, x: jax.lax.dynamic_slice(
+                    im, (y, x, jnp.zeros((), y.dtype)), (crop, crop, 3))
+            )(picked, oy, ox)
+            flip = jax.random.bernoulli(kf, 0.5, (batch_size,))
+            crops = jnp.where(flip[:, None, None, None],
+                              crops[:, :, ::-1, :], crops)
+            x = crops.astype(jnp.float32) / 255.0
+            if normalize:
+                x = x * 2.0 - 1.0
+            return x
+
+        self._sample = jax.jit(sample)
+        self._bpps = np.full((batch_size,), self.mean_bpp, np.float32)
+
+    def batches(self, batch_size: int = None, num_workers: int = 0):
+        """Infinite stream of device-resident float batches. batch_size is
+        fixed at construction; the argument is accepted for interface
+        parity with TrainDataset and must match if given."""
+        import jax
+
+        if batch_size is not None:
+            assert batch_size == self._bpps.shape[0], \
+                "batch_size fixed at DeviceDataset construction"
+        key = jax.random.PRNGKey(self.seed)
+        i = 0
+        while True:
+            yield self._sample(self.data, jax.random.fold_in(key, i)), \
+                self._bpps
+            i += 1
 
 
 class EvalDataset:

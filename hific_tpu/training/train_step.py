@@ -104,6 +104,17 @@ def create_train_state(config: Config, rng, input_shape=None) -> TrainState:
     )
 
 
+def ingest_batch(x, config: Config):
+    """Accept uint8 batches (1 B/px wire; preferred on TPU) and map them
+    on device to the SAME values the host float pipeline produces
+    (x/255 [, *2-1]). Float batches pass through unchanged."""
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / 255.0
+        if config.normalize_input_image:
+            x = x * 2.0 - 1.0
+    return x
+
+
 def make_train_step_g(config: Config, lpips_apply=None):
     """Generator/compression step: grads of (compression loss [+ beta*G_loss])
     w.r.t. codec params; amort+hyper Adam updates; step_counter += 1."""
@@ -138,6 +149,7 @@ def make_train_step_g(config: Config, lpips_apply=None):
         return loss, (diagnostics, new_spectral)
 
     def step_fn(state: TrainState, x):
+        x = ingest_batch(x, config)
         rng, step_rng = jax.random.split(state.rng)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (diagnostics, new_spectral)), grads = grad_fn(
@@ -187,6 +199,7 @@ def make_train_step_d(config: Config):
         return d_loss, (diagnostics, mutated["spectral"])
 
     def step_fn(state: TrainState, x):
+        x = ingest_batch(x, config)
         rng, step_rng = jax.random.split(state.rng)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (d_loss, (diagnostics, new_spectral)), grads = grad_fn(
@@ -210,6 +223,7 @@ def make_eval_step(config: Config, lpips_apply=None):
     model = HiFiC(config)
 
     def eval_fn(state: TrainState, x, rng):
+        x = ingest_batch(x, config)
         variables = {"params": dict(state.params)}
         intermediates, hyperinfo = model.apply(
             variables, x, training=False, rngs={"quantize": rng})

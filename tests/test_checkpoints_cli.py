@@ -185,6 +185,36 @@ def test_train_and_compress_cli(tmp_path, image_dir):
     assert len(rep_bad["failures"]) == 3
 
 
+def test_train_cli_device_data_and_rss_watchdog(tmp_path, image_dir):
+    """--device_data trains from a device-resident corpus (zero per-step
+    uploads); --max_rss_gb turns memory-wall death into a clean
+    checkpointed SystemExit."""
+    from hific_tpu.cli import train as train_cli
+
+    args = [
+        "--model_type", "compression",
+        "--dataset_path", image_dir,
+        "--experiments_dir", str(tmp_path / "exp"),
+        "--batch_size", "2", "--steps", "3", "--crop_size", "64",
+        "--latent_channels", "8", "--n_residual_blocks", "1",
+        "--hyperlatent_filters", "16",
+        "--log_interval", "2", "--save_interval", "100",
+        "--no_lpips", "--device_data",
+    ]
+    ckpt_path = train_cli.main(args)
+    assert os.path.exists(ckpt_path)
+
+    # watchdog: an absurdly low cap trips at the first log step, AFTER
+    # writing a resumable checkpoint
+    args2 = [a if a != "3" else "9" for a in args]
+    args2[args2.index("--experiments_dir") + 1] = str(tmp_path / "exp2")
+    with pytest.raises(SystemExit, match="checkpointed"):
+        train_cli.main(args2 + ["--max_rss_gb", "0.001", "-name", "wd"])
+    wd_ckpts = os.path.join(tmp_path / "exp2", "wd_compression_low",
+                            "checkpoints")
+    assert checkpoints.latest_checkpoint(str(wd_ckpts)) is not None
+
+
 def test_warmstart_without_source_config_errors(tmp_path):
     """Warmstart MUST fail loudly when config.json is missing next to the
     checkpoint (a guessed template shape would silently mis-restore)."""

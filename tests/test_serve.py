@@ -18,6 +18,10 @@ from hific_tpu.training.train_step import create_train_state
 
 TINY = dict(latent_channels=8, n_residual_blocks=1, hyperlatent_filters=16)
 
+# the shared server fixture compiles compress+decompress programs (~1 min
+# on the CI box) -> slow tier, like the other end-to-end CLI tests
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def served(tmp_path_factory):
