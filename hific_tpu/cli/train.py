@@ -216,15 +216,13 @@ def main(argv=None):
         put = jnp.asarray
 
     if a.device_data:
-        if a.data_parallel:
-            raise SystemExit("--device_data + --data_parallel is not "
-                             "composed yet; drop one of them")
         from hific_tpu.training.data import DeviceDataset
 
         dataset = DeviceDataset(a.dataset_path, crop_size=config.crop_size,
                                 batch_size=config.batch_size,
                                 normalize=config.normalize_input_image,
-                                seed=a.seed)
+                                seed=a.seed,
+                                mesh=mesh if a.data_parallel else None)
         logger.info("Device-resident dataset: %s (%.0f MB in HBM)",
                     dataset.data.shape, dataset.data.size / 1e6)
         batches = dataset.batches()  # already on device; no prefetch thread

@@ -169,7 +169,13 @@ class DeviceDataset:
     """
 
     def __init__(self, root_or_files, crop_size: int = 256,
-                 batch_size: int = 8, normalize: bool = False, seed: int = 0):
+                 batch_size: int = 8, normalize: bool = False, seed: int = 0,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh for data-parallel training —
+        the corpus replicates across the mesh and the sampler's output
+        batch is sharded over all mesh axes (matching
+        parallel.mesh.shard_batch), so each device materializes only its
+        own sub-batch's crops from its local replica."""
         import jax
         import jax.numpy as jnp
 
@@ -203,6 +209,16 @@ class DeviceDataset:
         self.data = jnp.concatenate(
             [jnp.asarray(stacked[i : i + per])
              for i in range(0, len(stacked), per)], axis=0)
+        out_shardings = None
+        if mesh is not None:
+            from hific_tpu.parallel.mesh import (batch_sharding,
+                                                 replicate_sharding)
+
+            if batch_size % mesh.size != 0:
+                raise ValueError(f"batch_size {batch_size} not divisible by "
+                                 f"the {mesh.size}-device mesh")
+            self.data = jax.device_put(self.data, replicate_sharding(mesh))
+            out_shardings = batch_sharding(mesh)
         self.mean_bpp = float(np.mean(bpps))
         self.seed = seed
         n, h, w, _ = self.data.shape
@@ -226,7 +242,7 @@ class DeviceDataset:
                 x = x * 2.0 - 1.0
             return x
 
-        self._sample = jax.jit(sample)
+        self._sample = jax.jit(sample, out_shardings=out_shardings)
         self._bpps = np.full((batch_size,), self.mean_bpp, np.float32)
 
     def batches(self, batch_size: int = None, num_workers: int = 0):

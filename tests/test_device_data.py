@@ -72,6 +72,27 @@ def test_device_dataset_rejects_mixed_sizes(tmp_path, tile_dir):
         DeviceDataset(str(tmp_path / "tiles"), crop_size=32, batch_size=2)
 
 
+def test_device_dataset_data_parallel_mesh(tile_dir):
+    """With a mesh, the corpus replicates and the sampled batch comes out
+    sharded over all mesh axes (matching shard_batch) with the SAME values
+    the unsharded sampler draws for the same seed."""
+    from hific_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    mesh = make_mesh()
+    ds = DeviceDataset(tile_dir, crop_size=32, batch_size=8, seed=5,
+                       mesh=mesh)
+    x, _ = next(ds.batches())
+    assert x.shape == (8, 32, 32, 3)
+    assert x.sharding.is_equivalent_to(batch_sharding(mesh), x.ndim)
+
+    ref = DeviceDataset(tile_dir, crop_size=32, batch_size=8, seed=5)
+    want = np.asarray(next(ref.batches())[0])
+    np.testing.assert_array_equal(np.asarray(x), want)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        DeviceDataset(tile_dir, crop_size=32, batch_size=6, mesh=mesh)
+
+
 def test_uint8_loader_matches_float_loader(tile_dir):
     """Same seed -> the uint8 pipeline yields exactly the float pipeline's
     crops, just quantized; ingest_batch recovers identical floats."""

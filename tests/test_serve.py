@@ -89,6 +89,47 @@ def test_serve_roundtrip_matches_codec(served):
     assert stats["errors"] == 0
 
 
+def test_container_bytes_roundtrip_v1_and_v2():
+    """dumps/loads match the file format for both container versions."""
+    from hific_tpu.entropy.container import (CompressionOutput,
+                                             dumps_compressed,
+                                             load_compressed,
+                                             loads_compressed,
+                                             save_compressed)
+
+    rng = np.random.RandomState(0)
+    for sharded in (False, True):
+        out = CompressionOutput(
+            hyperlatents_encoded=rng.randint(0, 2**32, 37, dtype=np.uint32),
+            latents_encoded=rng.randint(0, 2**32, 211, dtype=np.uint32),
+            hyperlatent_spatial_shape=(3, 4),
+            spatial_shape=(48, 64),
+            hyper_coding_shape=(1, 8, 12),
+            latent_coding_shape=(1, 12, 16),
+            batch_shape=1,
+            sharded=sharded,
+        )
+        data, bpp, _ = dumps_compressed(out)
+        back = loads_compressed(data)
+        assert back.sharded == sharded
+        np.testing.assert_array_equal(back.hyperlatents_encoded,
+                                      out.hyperlatents_encoded)
+        np.testing.assert_array_equal(back.latents_encoded,
+                                      out.latents_encoded)
+        assert back.spatial_shape == out.spatial_shape
+        assert back.latent_coding_shape == out.latent_coding_shape
+        # bytes == the file path's bytes
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".hfc") as f:
+            f_bpp, _ = save_compressed(out, f.name)
+            assert open(f.name, "rb").read() == data
+            assert abs(f_bpp - bpp) < 1e-9
+            file_back = load_compressed(f.name)
+            np.testing.assert_array_equal(file_back.latents_encoded,
+                                          back.latents_encoded)
+
+
 def test_serve_bad_payload_is_a_400_not_a_crash(served):
     base, service = served
     req = urllib.request.Request(base + "/decompress", data=b"not a container",
