@@ -106,9 +106,11 @@ def test_uint8_loader_matches_float_loader(tile_dir):
     np.testing.assert_allclose(xi, xf, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_train_step_accepts_uint8(tile_dir):
     """One G step on a uint8 batch == the same step on the equivalent
-    float batch (identical state in, matching diagnostics out)."""
+    float batch (identical state in, matching diagnostics out). Slow:
+    compiles a full train step twice (~80 s on the CI box)."""
     cfg = mse_lpips_config(crop_size=64, batch_size=2, **TINY)
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step_g = jax.jit(make_train_step_g(cfg))
