@@ -16,13 +16,19 @@ server:
     GET  /stats        request/byte/latency counters (JSON)
 
 Requests are served by a thread pool (ThreadingHTTPServer) so network I/O
-overlaps device work, while a single lock serializes codec calls — the
-TPU runs one program at a time anyway, and the per-shape jit caches are
-not thread-safe. `--shape_bucket` caps the number of distinct compiled
+and PNG/container parsing overlap across clients, while codec work flows
+through ONE dispatcher thread that drains a queue into the *pipelined*
+batch APIs (`compress_many` / `decompress_many`, up to `--max_batch` at a
+time). Under concurrent load, host rANS for request i therefore overlaps
+device transforms for request i+1 — steady-state throughput is the
+pipelined rate, not N x serial latency. A single dispatcher thread also
+keeps the per-shape jit caches single-threaded (they are not
+thread-safe). `--shape_bucket` caps the number of distinct compiled
 shapes on mixed-size traffic exactly as in the compress CLI.
 """
 
 import argparse
+import collections
 import io
 import json
 import threading
@@ -50,41 +56,143 @@ def parse_args(argv=None):
     p.add_argument("--tile_latents", type=int, default=None,
                    help="decode very large images on latent tiles")
     p.add_argument("--coder_threads", type=int, default=1)
+    p.add_argument("--max_batch", type=int, default=8,
+                   help="max queued requests dispatched as one pipelined "
+                        "compress_many/decompress_many call")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
 
+class _Job:
+    __slots__ = ("kind", "payload", "done", "result", "error")
+
+    def __init__(self, kind, payload):
+        self.kind = kind          # "compress" | "decompress"
+        self.payload = payload    # np image (1,H,W,3) | CompressionOutput
+        self.done = threading.Event()
+        self.result = None
+        self.error = None
+
+
 class CodecService:
-    """Warm codec + counters; one lock serializes device work."""
+    """Warm codec + counters; a single dispatcher thread drains the
+    request queue into pipelined `compress_many`/`decompress_many` calls
+    (a run of same-kind requests from the queue head, up to `max_batch`),
+    so concurrent requests overlap host rANS with device compute instead
+    of serializing behind one lock."""
 
     def __init__(self, config, params, shape_bucket=None, tile_latents=None,
-                 coder_threads=1):
+                 coder_threads=1, max_batch=8):
         self.codec = Codec(config, params, coder_threads=coder_threads)
         self.codec.build_tables()
         self.shape_bucket = shape_bucket
         self.tile_latents = tile_latents
-        self.lock = threading.Lock()
+        self.max_batch = max(1, int(max_batch))
+        self._queue = collections.deque()
+        self._cv = threading.Condition()
+        self._closed = False
+        self._stats_lock = threading.Lock()
         self.stats = {"compress_requests": 0, "decompress_requests": 0,
                       "errors": 0, "pixels_in": 0, "bytes_hfc": 0,
-                      "busy_seconds": 0.0}
+                      "busy_seconds": 0.0, "batches": 0,
+                      "batched_requests": 0, "max_batch_seen": 0}
         self.n_params = sum(
             int(np.prod(x.shape))
             for x in jax.tree_util.tree_leaves(params))
+        self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                            daemon=True,
+                                            name="codec-dispatcher")
+        self._dispatcher.start()
+
+    # ------------------------------------------------------------------ #
+    # dispatcher
+
+    def _submit(self, kind, payload):
+        job = _Job(kind, payload)
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("service is shut down")
+            self._queue.append(job)
+            self._cv.notify()
+        job.done.wait()
+        if job.error is not None:
+            raise job.error
+        return job.result
+
+    def _dispatch_loop(self):
+        while True:
+            with self._cv:
+                while not self._queue and not self._closed:
+                    self._cv.wait()
+                if self._closed and not self._queue:
+                    return
+                batch = [self._queue.popleft()]
+                while (self._queue and len(batch) < self.max_batch
+                       and self._queue[0].kind == batch[0].kind):
+                    batch.append(self._queue.popleft())
+            self._run_batch(batch)
+
+    def _run_batch(self, batch):
+        t0 = time.time()
+        try:
+            results = self._execute(batch[0].kind,
+                                    [j.payload for j in batch])
+            for job, res in zip(batch, results):
+                job.result = res
+        except Exception as e:  # noqa: BLE001 — a failed batch must not
+            # wedge its waiters; retry individually so one poisoned
+            # request can't fail its queue neighbors
+            if len(batch) == 1:
+                batch[0].error = e
+            else:
+                for job in batch:
+                    try:
+                        job.result = self._execute(job.kind,
+                                                   [job.payload])[0]
+                    except Exception as e1:  # noqa: BLE001
+                        job.error = e1
+        dt = time.time() - t0
+        with self._stats_lock:
+            self.stats["busy_seconds"] += dt
+            self.stats["batches"] += 1
+            self.stats["batched_requests"] += len(batch)
+            self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"],
+                                               len(batch))
+        for job in batch:
+            job.done.set()
+
+    def _execute(self, kind, payloads):
+        if kind == "compress":
+            return self.codec.compress_many(payloads,
+                                            shape_bucket=self.shape_bucket)
+        if self.tile_latents:
+            # tiled decode has no batch API; per-item (large images only)
+            return [self.codec.decompress(o, as_uint8=True,
+                                          tile_latents=self.tile_latents)
+                    for o in payloads]
+        return self.codec.decompress_many(payloads, as_uint8=True)
+
+    def close(self):
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+        self._dispatcher.join(timeout=30)
+
+    # ------------------------------------------------------------------ #
+    # request entry points (called from HTTP handler threads; parsing and
+    # serialization stay here so they parallelize across clients)
 
     def compress(self, image_bytes: bytes):
         from PIL import Image
 
         img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
         arr = np.asarray(img, dtype=np.uint8)[None]  # (1, H, W, 3)
-        t0 = time.time()
-        with self.lock:
-            out = self.codec.compress(arr, shape_bucket=self.shape_bucket)
-        dt = time.time() - t0
+        out = self._submit("compress", arr)
         data, actual_bpp, _ = dumps_compressed(out)
-        self.stats["compress_requests"] += 1
-        self.stats["pixels_in"] += arr.shape[1] * arr.shape[2]
-        self.stats["bytes_hfc"] += len(data)
-        self.stats["busy_seconds"] += dt
+        with self._stats_lock:
+            self.stats["compress_requests"] += 1
+            self.stats["pixels_in"] += arr.shape[1] * arr.shape[2]
+            self.stats["bytes_hfc"] += len(data)
         return data, {"X-Bpp": f"{actual_bpp:.4f}",
                       "X-Shape": f"{arr.shape[1]}x{arr.shape[2]}"}
 
@@ -92,16 +200,12 @@ class CodecService:
         from PIL import Image
 
         out = loads_compressed(hfc_bytes)
-        t0 = time.time()
-        with self.lock:
-            recon = self.codec.decompress(out, as_uint8=True,
-                                          tile_latents=self.tile_latents)
-        dt = time.time() - t0
+        recon = self._submit("decompress", out)
         buf = io.BytesIO()
         Image.fromarray(np.asarray(recon[0])).save(buf, format="PNG")
-        self.stats["decompress_requests"] += 1
-        self.stats["bytes_hfc"] += len(hfc_bytes)
-        self.stats["busy_seconds"] += dt
+        with self._stats_lock:
+            self.stats["decompress_requests"] += 1
+            self.stats["bytes_hfc"] += len(hfc_bytes)
         return buf.getvalue()
 
     def health(self) -> dict:
@@ -151,7 +255,8 @@ def make_handler(service, logger):
                     self._json(404, {"error": f"unknown path {self.path}"})
             except Exception as e:  # noqa: BLE001 — a bad request must not
                 # take the server down; the error reaches the client
-                service.stats["errors"] += 1
+                with service._stats_lock:
+                    service.stats["errors"] += 1
                 logger.exception("request failed")
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
 
@@ -174,9 +279,15 @@ def make_server(a, logger=None):
     logger.info("Building prior probability tables...")
     service = CodecService(config, params, shape_bucket=a.shape_bucket,
                            tile_latents=a.tile_latents,
-                           coder_threads=a.coder_threads)
-    server = ThreadingHTTPServer((a.host, a.port),
-                                 make_handler(service, logger))
+                           coder_threads=a.coder_threads,
+                           max_batch=a.max_batch)
+
+    class _Server(ThreadingHTTPServer):
+        def server_close(self):
+            super().server_close()
+            service.close()
+
+    server = _Server((a.host, a.port), make_handler(service, logger))
     server.service = service
     return server
 
