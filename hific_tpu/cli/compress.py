@@ -55,6 +55,12 @@ def parse_args(argv=None):
                    help="pad inputs to multiples of this size: slightly "
                         "higher bpp, but bounds XLA recompiles on "
                         "mixed-resolution datasets")
+    p.add_argument("--spatial", type=int, default=0, metavar="N",
+                   help="spatially-partitioned codec: shard each image's "
+                        "encoder/generator over the first N devices "
+                        "(row bands + halo exchange; bounded per-chip HBM "
+                        "for very large images). Mutually exclusive with "
+                        "--pipeline/--tile_*")
     p.add_argument("--pipeline", type=int, default=0, metavar="N",
                    help="compress in pipelined groups of N images (device "
                         "compute overlaps host rANS)")
@@ -160,6 +166,37 @@ def main(argv=None):
                     f"PSNR {row.get('psnr', float('nan')):.2f}")
 
     rows = []
+    if a.spatial > 1 and not a.reconstruct:
+        # Spatially-partitioned codec: ONE image at a time, its transforms
+        # row-banded over the mesh (halo exchange keeps streams identical
+        # to single-device whenever padding is unchanged; codec.py
+        # compress_spatial/decompress_spatial docstrings).
+        if a.pipeline > 1 or a.tile_image or a.tile_latents:
+            raise SystemExit("--spatial is mutually exclusive with "
+                             "--pipeline/--tile_image/--tile_latents")
+        from hific_tpu.parallel.mesh import make_mesh
+
+        devices = jax.devices()
+        if len(devices) < a.spatial:
+            raise SystemExit(f"--spatial {a.spatial} needs {a.spatial} "
+                             f"devices; only {len(devices)} visible")
+        mesh = make_mesh(devices[: a.spatial])
+        logger.info("SP codec over %d devices", a.spatial)
+        for x, source_bpp, path in dataset:
+            name = os.path.splitext(os.path.basename(path))[0]
+            t0 = time.time()
+            hfc_path = os.path.join(a.output, name + ".hfc")
+            out = codec.compress_spatial(jnp.asarray(x), mesh)
+            actual_bpp, theoretical_bpp = save_compressed(out, hfc_path)
+            t_enc = time.time() - t0
+            t0 = time.time()
+            recon = codec.decompress_spatial(load_compressed(hfc_path),
+                                             mesh, as_uint8=True)
+            t_dec = time.time() - t0
+            _finish(x, source_bpp, path, recon, t_enc, t_dec, actual_bpp,
+                    theoretical_bpp)
+        _write_metrics(a, rows, logger)
+        return rows
     if a.pipeline > 1 and not a.reconstruct:
         # Pipelined groups: all device work for the group is enqueued before
         # the host rANS-codes the first image.

@@ -660,7 +660,8 @@ class Codec:
         return np.asarray(self._gen_syms_p(
             self.params, jnp.asarray(y_nhwc, jnp.int16), mu, (h, w)))
 
-    def decompress_many(self, outs, as_uint8: bool = True) -> list:
+    def decompress_many(self, outs, as_uint8: bool = True,
+                        as_numpy: bool = True) -> list:
         """Pipelined batch decompression (mirror of compress_many): the
         host rANS-decodes and uploads image i+1's symbols while the device
         synthesizes stats / generates image i, via JAX async dispatch.
@@ -668,6 +669,11 @@ class Codec:
         Per-image serial decode pays two full device round trips back to
         back; here every upload/compute for later images is enqueued before
         the host blocks on earlier images' downloads.
+
+        as_numpy=False returns DEVICE arrays (no image download) — for
+        device-resident consumers and the transport-independent bench
+        metric (bench.py pipelined_device_mp_s), which fences with a
+        scalar fetch instead of paying the pixel wire legs.
         """
         if not self._tables_built:
             self.build_tables()
@@ -678,6 +684,8 @@ class Codec:
                 # dispatch; all of them are enqueued before blocking on
                 # any download, so device work rides ahead of the wire.
                 pending = [self._device_decode_u8(o) for o in outs]
+                if not as_numpy:
+                    return pending
                 return [np.asarray(r) for r in pending]
             # Chunk-batched variant: consecutive images with identical
             # packed-input/output shapes ride ONE [B, buflen] upload + ONE
@@ -709,7 +717,8 @@ class Codec:
                 i = j
             results = []
             for arr, b in staged:
-                arr = np.asarray(arr)          # ONE download per chunk
+                if as_numpy:
+                    arr = np.asarray(arr)      # ONE download per chunk
                 if b:
                     results.extend(arr[k] for k in range(b))
                 else:
@@ -760,12 +769,28 @@ class Codec:
                 recon = self._gen_syms_p(
                     self.params, jnp.asarray(y_nhwc, jnp.int16), mu, (h, w))
             pending.append(recon)
+        if not as_numpy:
+            return pending
         return [np.asarray(r) for r in pending]
 
     # ------------------------------------------------------------------ #
     # Spatially-partitioned (multi-chip) codec: ONE huge image across the
     # mesh's data axis (parallel/spatial.py row bands + ppermute halos),
     # composed with the standard hyper/symbol/entropy stages.
+
+    def _sp_params(self, mesh):
+        """Params replicated over `mesh` for the shard_mapped SP programs.
+        Restored checkpoints are committed to the default device; shard_map
+        rejects single-device-committed inputs, so replicate once per mesh
+        (a no-op broadcast for uncommitted params)."""
+        if not hasattr(self, "_sp_params_cache"):
+            self._sp_params_cache = {}
+        key = id(mesh)
+        if key not in self._sp_params_cache:
+            from hific_tpu.parallel.mesh import replicate
+
+            self._sp_params_cache[key] = replicate(self.params, mesh)
+        return self._sp_params_cache[key]
 
     def compress_spatial(self, x, mesh, halo_image: int = 64
                          ) -> CompressionOutput:
@@ -805,10 +830,12 @@ class Codec:
                 {"params": p}, t, method=HiFiC.encoder_forward)
             self._sp_encode_cache[key] = spatial_encode_fn(
                 enc, mesh, halo=halo_image)
-        y = self._sp_encode_cache[key](self.params, x)
-        # Assemble latents off the mesh; the downstream hyper/symbol stages
-        # are image-resolution/256 work and run on the default device.
-        y = jnp.asarray(np.asarray(y))
+        y = self._sp_encode_cache[key](self._sp_params(mesh), x)
+        # Reshard the assembled latents onto the default device for the
+        # hyper/symbol stages (image-resolution/256 work): device_put keeps
+        # the gather inside the runtime (ICI on a real mesh) instead of a
+        # blocking host round trip, and dispatch stays async.
+        y = jax.device_put(y, jax.devices()[0])
         z_sym, y_sym, idx, hb, lb = (np.asarray(a) for a in
                                      self._compress_syms_lat_p(
                                          self.params, y,
@@ -823,7 +850,10 @@ class Codec:
         Same symbols as `decompress(out)` by construction and SP windows
         are exact; pixels agree to float noise (<=1 u8 step) because the
         d2s packed tail's conv summation order is slab-shape-dependent
-        (tests/test_spatial.py)."""
+        (tests/test_spatial.py). Files whose latent rows don't divide the
+        mesh's data axis (not written by compress_spatial) decode through
+        the single-device generator instead — identical to
+        decompress(out)."""
         from hific_tpu.parallel.mesh import DATA_AXIS
         from hific_tpu.parallel.spatial import spatial_generate_fn
 
@@ -840,14 +870,26 @@ class Codec:
         y_sym_np = self.conditional.decompress_symbols(
             out.latents_encoded, idx_np, vectorize=self.vectorize,
             sharded=out.sharded)
-        y_hat = jnp.asarray(_to_nhwc_int(y_sym_np), jnp.float32) + mu
+        y_nhwc = _to_nhwc_int(y_sym_np)
+        y_hat = jnp.asarray(y_nhwc, jnp.float32) + mu
 
         n = mesh.shape[DATA_AXIS]
-        if int(y_hat.shape[1]) % n != 0:
-            raise ValueError(
-                f"latent rows {y_hat.shape[1]} not divisible by the mesh's "
-                f"{n} data-axis devices; use decompress() or re-encode with "
-                "compress_spatial (which pads rows for the mesh)")
+        h, w = out.spatial_shape
+        rows = int(y_hat.shape[1])
+        if rows % n != 0 or (n > 1 and
+                             (rows // n) * (n - 1) < 2 * halo_latents):
+            # Latent rows don't band evenly over the mesh, or the image is
+            # too small for the halo'd windows (file wasn't written by
+            # compress_spatial, which pads rows for the mesh): fall back to
+            # the single-device generator — the same program decompress()
+            # runs, so the result is identical to decompress(out). Padding
+            # rows here instead would perturb bottom-edge pixels through
+            # the generator's receptive field.
+            if as_uint8:
+                return np.asarray(self._gen_syms_u8_p(
+                    self.params, jnp.asarray(y_nhwc, jnp.int16), mu, (h, w)))
+            return np.asarray(self._gen_syms_p(
+                self.params, jnp.asarray(y_nhwc, jnp.int16), mu, (h, w)))
         if not hasattr(self, "_sp_generate_cache"):
             self._sp_generate_cache = {}
         key = (id(mesh), halo_latents)
@@ -858,8 +900,10 @@ class Codec:
                                          method=HiFiC.generate)
             self._sp_generate_cache[key] = spatial_generate_fn(
                 gen, mesh, halo_latents=halo_latents)
-        img = np.asarray(self._sp_generate_cache[key](self.params, y_hat))
-        h, w = out.spatial_shape
+        from hific_tpu.parallel.mesh import replicate
+
+        img = np.asarray(self._sp_generate_cache[key](self._sp_params(mesh),
+                                                      replicate(y_hat, mesh)))
         img = img[:, :h, :w]
         if as_uint8:
             img = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)

@@ -342,6 +342,12 @@ def test_decompress_many_matches_serial(tiny_codec, tmp_path):
     np.testing.assert_allclose(np.asarray(floats[0]),
                                np.asarray(tiny_codec.decompress(outs[0])),
                                atol=0)
+    # as_numpy=False: device-resident results (bench's transport-
+    # independent metric fences these with a scalar fetch), same pixels
+    dev = tiny_codec.decompress_many(outs, as_uint8=True, as_numpy=False)
+    for got_dev, want in zip(dev, batched):
+        assert isinstance(got_dev, jax.Array)
+        np.testing.assert_array_equal(np.asarray(got_dev), want)
 
 
 def test_coder_threads_container_v2_roundtrip(tiny_codec, tmp_path):

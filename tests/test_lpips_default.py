@@ -74,3 +74,67 @@ def test_train_cli_default_includes_perceptual_term():
 
     a_off = parse_args(["--dataset_path", "unused", "--no_lpips"])
     assert make_lpips_apply(a_off) is None
+
+
+def test_calibrated_npz_unblock_path_roundtrip(tmp_path):
+    """Pre-stage the pretrained-weights unblock path (VERDICT r3 next #6):
+    a synthetic 'calibrated' reference state_dict -> extraction
+    (lpips_params_from_reference_state) -> save_lpips_npz ->
+    build_lpips_fn(params_npz=...) must round-trip exactly, report
+    calibrated=True, and change the metric vs the default random
+    backbone. When a real HiFiC `.pt` lands, cli/convert drives exactly
+    this chain."""
+    import jax
+    import jax.numpy as jnp
+
+    from hific_tpu.models.lpips import (_ALEX_SLICE_IDX, _backbone_conv_map,
+                                        LPIPS, build_lpips_fn,
+                                        lpips_params_from_reference_state,
+                                        save_lpips_npz)
+
+    # Shapes from a real init; values synthetic ("calibrated" stand-ins).
+    lpips = LPIPS(net="alex")
+    dummy = jnp.zeros((1, 64, 64, 3))
+    init = lpips.init(jax.random.PRNGKey(7), dummy, dummy)["params"]
+    rng = np.random.RandomState(3)
+    prefix = "perceptual_loss.model.net."
+    state = {}
+    for k in range(5):
+        c = np.asarray(init[f"lin{k}"]).shape[0]
+        state[f"{prefix}lin{k}.model.1.weight"] = (
+            rng.rand(1, c, 1, 1).astype(np.float32))
+    conv_names = [n for n, _ in _backbone_conv_map("alex")]
+    for name, (sl, fi) in zip(conv_names, _ALEX_SLICE_IDX):
+        kern = np.asarray(init["backbone"][name]["kernel"])  # (H,W,I,O)
+        h, w, i, o = kern.shape
+        state[f"{prefix}net.slice{sl}.{fi}.weight"] = (
+            rng.randn(o, i, h, w).astype(np.float32) * 0.05)
+        state[f"{prefix}net.slice{sl}.{fi}.bias"] = (
+            rng.randn(o).astype(np.float32) * 0.05)
+
+    params = lpips_params_from_reference_state(state)
+    assert params is not None
+    # extraction got the layout right: kernel back-transposed exactly
+    name0, (sl0, fi0) = conv_names[0], _ALEX_SLICE_IDX[0]
+    np.testing.assert_array_equal(
+        np.asarray(params["backbone"][name0]["kernel"]),
+        state[f"{prefix}net.slice{sl0}.{fi0}.weight"].transpose(2, 3, 1, 0))
+
+    npz = str(tmp_path / "lpips.npz")
+    save_lpips_npz(npz, params)
+    fn, calibrated = build_lpips_fn(params_npz=npz)
+    assert calibrated is True
+
+    x0 = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    x1 = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    want = np.asarray(lpips.apply({"params": params}, x0, x1,
+                                  normalize=True))
+    got = np.asarray(fn(x0, x1, normalize=True))
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)  # exact reload
+
+    fn_default, _ = build_lpips_fn()
+    d_default = np.asarray(fn_default(x0, x1, normalize=True))
+    assert abs(float(got) - float(d_default)) > 1e-6
+
+    # absent keys -> None (the convert CLI's "no LPIPS in this ckpt" path)
+    assert lpips_params_from_reference_state({"unrelated": 0}) is None
