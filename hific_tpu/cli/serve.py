@@ -126,10 +126,17 @@ class CodecService:
                     self._cv.wait()
                 if self._closed and not self._queue:
                     return
-                batch = [self._queue.popleft()]
-                while (self._queue and len(batch) < self.max_batch
-                       and self._queue[0].kind == batch[0].kind):
-                    batch.append(self._queue.popleft())
+                # Pull ALL queued jobs of the head's kind (not just the
+                # contiguous head run): requests are independent, so
+                # cross-kind reordering is safe, and interleaved
+                # compress/decompress traffic still forms full batches.
+                kind = self._queue[0].kind
+                batch, rest = [], collections.deque()
+                while self._queue and len(batch) < self.max_batch:
+                    job = self._queue.popleft()
+                    (batch if job.kind == kind else rest).append(job)
+                rest.extend(self._queue)
+                self._queue = rest
             self._run_batch(batch)
 
     def _run_batch(self, batch):

@@ -19,11 +19,15 @@ Prints a JSON line with serial/concurrent MP/s and the speedup.
 import argparse
 import io
 import json
+import os
+import sys
 import threading
 import time
 import urllib.request
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def parse_args():
