@@ -28,7 +28,8 @@ from hific_tpu.utils.metrics import ms_ssim, psnr
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Compress images with HiFiC (TPU)")
     p.add_argument("-ckpt", "--checkpoint_dir", required=True,
-                   help="checkpoint directory (contains step_N/ + config.json)")
+                   help="checkpoint directory (step_N/ + config.json) or a "
+                        "portable params .npz (cli.export_params)")
     p.add_argument("-i", "--input", required=True,
                    help="image file or directory")
     p.add_argument("-o", "--output", default="compressed_out")
@@ -91,7 +92,9 @@ def make_lpips_metric(a, logger):
 
     params_npz = a.lpips_weights
     if params_npz is None:
-        cand = os.path.join(a.checkpoint_dir, "lpips.npz")
+        ckpt_dir = (os.path.dirname(a.checkpoint_dir)
+                    if os.path.isfile(a.checkpoint_dir) else a.checkpoint_dir)
+        cand = os.path.join(ckpt_dir, "lpips.npz")
         if os.path.isfile(cand):
             params_npz = cand
     fn, calibrated = build_lpips_fn(net="alex",
@@ -130,13 +133,9 @@ def main(argv=None):
     logger = setup_logger(None, name="hific_tpu.compress")
     os.makedirs(a.output, exist_ok=True)
 
-    config = checkpoints.load_config(a.checkpoint_dir)
-    assert config is not None, f"no config.json in {a.checkpoint_dir}"
-    ckpt_path = checkpoints.latest_checkpoint(a.checkpoint_dir)
-    assert ckpt_path is not None, f"no step_N checkpoints in {a.checkpoint_dir}"
-    logger.info("Restoring %s", ckpt_path)
-    params = checkpoints.restore_params(ckpt_path, config,
-                                        jax.random.PRNGKey(a.seed))
+    logger.info("Restoring %s", a.checkpoint_dir)
+    config, params = checkpoints.resolve_eval_checkpoint(
+        a.checkpoint_dir, seed=a.seed)
 
     codec = Codec(config, params, vectorize=not a.scalar_rans,
                   coder_threads=a.coder_threads,

@@ -32,7 +32,8 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(
         description="Reconstruct images from .hfc files (HiFiC TPU)")
     p.add_argument("-ckpt", "--checkpoint_dir", required=True,
-                   help="checkpoint directory (contains step_N/ + config.json)")
+                   help="checkpoint directory (step_N/ + config.json) or a "
+                        "portable params .npz (cli.export_params)")
     p.add_argument("-i", "--input", required=True,
                    help=".hfc file or directory of .hfc files")
     p.add_argument("-o", "--output", default="decompressed_out")
@@ -61,13 +62,9 @@ def main(argv=None):
     logger = setup_logger(None, name="hific_tpu.decompress")
     os.makedirs(a.output, exist_ok=True)
 
-    config = checkpoints.load_config(a.checkpoint_dir)
-    assert config is not None, f"no config.json in {a.checkpoint_dir}"
-    ckpt_path = checkpoints.latest_checkpoint(a.checkpoint_dir)
-    assert ckpt_path is not None, f"no step_N checkpoints in {a.checkpoint_dir}"
-    logger.info("Restoring %s", ckpt_path)
-    params = checkpoints.restore_params(ckpt_path, config,
-                                        jax.random.PRNGKey(a.seed))
+    logger.info("Restoring %s", a.checkpoint_dir)
+    config, params = checkpoints.resolve_eval_checkpoint(
+        a.checkpoint_dir, seed=a.seed)
 
     codec = Codec(config, params)
     logger.info("Building prior probability tables...")

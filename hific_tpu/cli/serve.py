@@ -274,15 +274,12 @@ def make_server(a, logger=None):
     """Build the warm service + HTTP server (not yet serving). Split from
     main() so tests can drive a real server on an ephemeral port."""
     logger = logger or setup_logger(None, name="hific_tpu.serve")
-    config = checkpoints.load_config(a.checkpoint_dir)
-    if config is None:
-        raise SystemExit(f"no config.json in {a.checkpoint_dir}")
-    ckpt_path = checkpoints.latest_checkpoint(a.checkpoint_dir)
-    if ckpt_path is None:
-        raise SystemExit(f"no step_N checkpoints in {a.checkpoint_dir}")
-    logger.info("Restoring %s", ckpt_path)
-    params = checkpoints.restore_params(ckpt_path, config,
-                                        jax.random.PRNGKey(a.seed))
+    logger.info("Restoring %s", a.checkpoint_dir)
+    try:
+        config, params = checkpoints.resolve_eval_checkpoint(
+            a.checkpoint_dir, seed=a.seed)
+    except FileNotFoundError as e:
+        raise SystemExit(str(e))
     logger.info("Building prior probability tables...")
     service = CodecService(config, params, shape_bucket=a.shape_bucket,
                            tile_latents=a.tile_latents,
