@@ -8,6 +8,7 @@
 # of the 7 CLIC originals with both checkpoints.
 set -e
 cd /root/repo
+python scripts/make_demo_crops.py   # self-heal: resets wipe /root/demo_crops
 COMMON="-regime low -d /root/demo_crops -bs 8 --dtype bfloat16 --use_remat \
   --uncalibrated_lpips_ok --device_data --log_interval 500 --save_interval 5000"
 python -m hific_tpu.cli.train -mt compression $COMMON -steps 30000 -name demo4_flagship

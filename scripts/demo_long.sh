@@ -4,6 +4,7 @@
 # full-res CLIC originals with both.
 set -e
 cd /root/repo
+python scripts/make_demo_crops.py   # self-heal: resets wipe /root/demo_crops
 COMMON="-mt compression -regime low -d /root/demo_crops -bs 8 --dtype bfloat16 \
   --latent_channels 120 --n_residual_blocks 4 --hyperlatent_filters 192 \
   --uncalibrated_lpips_ok --device_data --log_interval 500 --save_interval 5000"
