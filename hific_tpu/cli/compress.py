@@ -151,11 +151,12 @@ def main(argv=None):
     lpips_fn, lpips_calibrated = make_lpips_metric(a, logger)
 
     def _finish(x, source_bpp, path, recon, t_enc, t_dec, actual_bpp,
-                theoretical_bpp):
+                theoretical_bpp, group_avg=False):
         name = os.path.splitext(os.path.basename(path))[0]
         row = _make_row(a, x, source_bpp, path, recon, t_enc, t_dec,
                         actual_bpp, theoretical_bpp,
-                        lpips_fn=lpips_fn, lpips_calibrated=lpips_calibrated)
+                        lpips_fn=lpips_fn, lpips_calibrated=lpips_calibrated,
+                        group_avg=group_avg)
         if a.save:
             save_png(os.path.join(a.output, name + "_recon.png"), recon[0])
         rows.append(row)
@@ -213,16 +214,13 @@ def main(argv=None):
                     os.path.splitext(os.path.basename(path))[0] + ".hfc"))
                 for (_, _, path), out in zip(group, outs)]
             t0 = time.time()
-            if a.tile_latents:
-                recons = [codec.decompress(out, tile_latents=a.tile_latents,
-                                           as_uint8=True) for out in outs]
-            else:
-                recons = codec.decompress_many(outs, as_uint8=True)
+            recons = codec.decompress_many(outs, as_uint8=True,
+                                           tile_latents=a.tile_latents)
             t_dec = (time.time() - t0) / max(len(group), 1)
             for (x, source_bpp, path), (actual_bpp, theoretical_bpp), recon \
                     in zip(group, bpps, recons):
                 _finish(x, source_bpp, path, recon, t_enc, t_dec,
-                        actual_bpp, theoretical_bpp)
+                        actual_bpp, theoretical_bpp, group_avg=True)
         _write_metrics(a, rows, logger)
         return rows
 
@@ -255,16 +253,23 @@ def main(argv=None):
 
 
 def _make_row(a, x, source_bpp, path, recon, t_enc, t_dec, actual_bpp,
-              theoretical_bpp, lpips_fn=None, lpips_calibrated=False):
+              theoretical_bpp, lpips_fn=None, lpips_calibrated=False,
+              group_avg=False):
     row = {
         "file": path,
         "source_bpp": round(float(source_bpp), 4),
         "actual_bpp": round(float(actual_bpp), 4),
         "theoretical_bpp": round(float(theoretical_bpp), 4),
         "compression_ratio": round(float(source_bpp / actual_bpp), 2),
-        "encode_s": round(t_enc, 3),
-        "decode_s": round(t_dec, 3),
     }
+    if group_avg:
+        # Pipelined groups are timed as a whole (that IS the point of the
+        # pipeline); per-image wall times don't exist, so the fields say so.
+        row["encode_s_group_avg"] = round(t_enc, 3)
+        row["decode_s_group_avg"] = round(t_dec, 3)
+    else:
+        row["encode_s"] = round(t_enc, 3)
+        row["decode_s"] = round(t_dec, 3)
     if not a.no_metrics:
         recon = np.asarray(recon)
         if recon.dtype == np.uint8:  # uint8 wire format (codec.decompress)

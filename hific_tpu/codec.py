@@ -661,7 +661,9 @@ class Codec:
             self.params, jnp.asarray(y_nhwc, jnp.int16), mu, (h, w)))
 
     def decompress_many(self, outs, as_uint8: bool = True,
-                        as_numpy: bool = True) -> list:
+                        as_numpy: bool = True,
+                        tile_latents: Optional[int] = None,
+                        halo_latents: int = 16) -> list:
         """Pipelined batch decompression (mirror of compress_many): the
         host rANS-decodes and uploads image i+1's symbols while the device
         synthesizes stats / generates image i, via JAX async dispatch.
@@ -674,10 +676,18 @@ class Codec:
         device-resident consumers and the transport-independent bench
         metric (bench.py pipelined_device_mp_s), which fences with a
         scalar fetch instead of paying the pixel wire legs.
+
+        tile_latents: generate on latent tiles (see `decompress`) — bounds
+        HBM for very large images while KEEPING the cross-image stage-1
+        pipelining (all hyper decodes + synth_stats staged before any
+        generator tile runs) and per-tile download/compute overlap
+        (tiling.tiled_upsample_apply inflight window). Implies numpy
+        results.
         """
         if not self._tables_built:
             self.build_tables()
-        if as_uint8 and all(self._device_decode_eligible(o) for o in outs):
+        if (as_uint8 and tile_latents is None
+                and all(self._device_decode_eligible(o) for o in outs)):
             chunk = self.pipeline_chunk
             if chunk == 1:
                 # On-device rANS decode: every image is ONE upload + ONE
@@ -749,6 +759,25 @@ class Codec:
                 sharded=out.sharded)
             y_nhwc = _to_nhwc_int(y_sym_np)
             h, w = out.spatial_shape
+            if tile_latents is not None:
+                from hific_tpu.tiling import tiled_upsample_apply
+
+                y_hat = jnp.asarray(y_nhwc, jnp.float32) + mu
+                ext = tile_latents + 2 * halo_latents
+                if as_uint8:
+                    gen = lambda lat: self._generate_u8_p(  # noqa: E731
+                        self.params, lat, (ext * 16, ext * 16))
+                    recon = tiled_upsample_apply(
+                        gen, y_hat, scale=16, tile=tile_latents,
+                        halo=halo_latents)[:, :h, :w, :]
+                else:
+                    gen = lambda lat: self._generate(  # noqa: E731
+                        lat, (ext * 16, ext * 16))
+                    recon = np.clip(tiled_upsample_apply(
+                        gen, y_hat, scale=16, tile=tile_latents,
+                        halo=halo_latents)[:, :h, :w, :], 0.0, 1.0)
+                pending.append(recon)
+                continue
             if as_uint8:
                 y_flat = y_nhwc.reshape(-1)
                 y8 = np.clip(y_flat, -128, 127).astype(np.int8)

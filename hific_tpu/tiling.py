@@ -135,7 +135,7 @@ def tiled_downsample_apply(fn: Callable, x, scale: int, tile: int = 1024,
 
 
 def tiled_upsample_apply(fn: Callable, x, scale: int, out_channels: int = 3,
-                         tile: int = 48, halo: int = 16):
+                         tile: int = 48, halo: int = 16, inflight: int = 4):
     """Tile-wise application of an upsampling map (e.g. the HiFiC generator:
     latents (1,hl,wl,C) -> image (1, hl*scale, wl*scale, out_channels)).
 
@@ -143,6 +143,13 @@ def tiled_upsample_apply(fn: Callable, x, scale: int, out_channels: int = 3,
     generator's activations at full resolution dominate memory, so it runs
     on latent tiles with `halo` latent pixels of real context (halo*scale
     image pixels) and only tile cores are stitched.
+
+    inflight: tiles ride JAX async dispatch in a bounded window — up to
+    this many tile programs are enqueued before the host blocks on the
+    oldest tile's download, so the device computes tile i+1..i+k while the
+    host drains tile i's pixels over the wire. HBM for finished-but-
+    undownloaded cores is bounded at inflight * (tile*scale)^2 * 3 bytes
+    (a few MB at the defaults); 1 restores strictly serial behavior.
     """
     assert x.shape[0] == 1
     _, h, w, c = x.shape
@@ -165,20 +172,33 @@ def tiled_upsample_apply(fn: Callable, x, scale: int, out_channels: int = 3,
 
     out = None  # dtype follows fn's output (float32 or uint8 wire format)
     ext = tile + 2 * halo
+    inflight = max(1, int(inflight))
+    pending = []  # (y0, x0, device core) awaiting download
+
+    def _drain(entry):
+        nonlocal out
+        y0, x0, core_dev = entry
+        core = np.asarray(core_dev)  # the only blocking download
+        if out is None:
+            out = np.zeros((1, h * scale, w * scale, out_channels),
+                           core.dtype)
+        ch = min(tile, h - y0) * scale
+        cw = min(tile, w - x0) * scale
+        out[:, y0 * scale : y0 * scale + ch,
+            x0 * scale : x0 * scale + cw, :] = core[:, :ch, :cw, :]
+
     for ti in range(n_th):
         for tj in range(n_tw):
             y0, x0 = ti * tile, tj * tile
             tile_in = jax.lax.dynamic_slice(xp, (0, y0, x0, 0),
                                             (1, ext, ext, c))
             tile_out = fn(tile_in)
-            core = np.asarray(
-                tile_out[:, halo * scale : (halo + tile) * scale,
-                         halo * scale : (halo + tile) * scale, :])
-            if out is None:
-                out = np.zeros((1, h * scale, w * scale, out_channels),
-                               core.dtype)
-            ch = min(tile, h - y0) * scale
-            cw = min(tile, w - x0) * scale
-            out[:, y0 * scale : y0 * scale + ch,
-                x0 * scale : x0 * scale + cw, :] = core[:, :ch, :cw, :]
+            # Core sliced ON DEVICE so only core bytes cross the wire.
+            core_dev = tile_out[:, halo * scale : (halo + tile) * scale,
+                                halo * scale : (halo + tile) * scale, :]
+            pending.append((y0, x0, core_dev))
+            if len(pending) >= inflight:
+                _drain(pending.pop(0))
+    for entry in pending:
+        _drain(entry)
     return out

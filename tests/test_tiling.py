@@ -63,6 +63,20 @@ def test_codec_tiled_decode_matches_whole():
     np.testing.assert_allclose(tiled[:, 112:144, 112:144],
                                whole[:, 112:144, 112:144], atol=1e-4)
 
+    # the pipelined batch API's tiled path == the per-image tiled decode,
+    # exactly, for every image and both wire formats (serve routes tiled
+    # traffic through decompress_many now)
+    out2 = codec.compress(np.random.RandomState(1)
+                          .rand(1, 256, 256, 3).astype(np.float32))
+    for as_uint8 in (False, True):
+        singles = [codec.decompress(o, tile_latents=8, halo_latents=8,
+                                    as_uint8=as_uint8)
+                   for o in (out, out2)]
+        batched = codec.decompress_many([out, out2], as_uint8=as_uint8,
+                                        tile_latents=8, halo_latents=8)
+        for s, b in zip(singles, batched):
+            np.testing.assert_array_equal(np.asarray(s), np.asarray(b))
+
 
 @pytest.mark.slow
 def test_tiled_model_reconstruction():
