@@ -124,17 +124,34 @@ class Codec:
                 {"params": p}, y_sym, mu, shape,
                 method=HiFiC.generate_u8_from_symbols),
             static_argnums=(3,))
-        # Whole compress device path in ONE dispatch (encode -> code_hyper
-        # -> synth_stats -> latent_symbols): per-dispatch latency on the
-        # tunneled transport is ~30 ms, so fusing 4 calls into 1 saves
-        # ~90 ms/image off the end-to-end codec path.
+        # Compress-side programs. The device path is THREE dispatches, not
+        # one fused program, BY CORRECTNESS REQUIREMENT: the coding indices
+        # must come from the SAME compiled synth_stats executable the
+        # decoder runs (`_synth_stats_p`) — a fused copy of the same source
+        # is not bit-identical (XLA layout/fusion changes float
+        # accumulation; measured 3744/2.7M flipped scale indices at a
+        # (128,96) latent grid => rANS desync => destroyed image; round-5
+        # diagnosis, scripts/diag_flagship5.py). Stage 1 (front) and
+        # stage 3 (pack) exchange only device-resident arrays with stage 2,
+        # so the extra dispatches cost enqueue latency, not wire payload.
+        self._front_p = jax.jit(
+            lambda p, x: model.apply({"params": p}, x,
+                                     method=HiFiC.compress_front))
+        self._front_lat_p = jax.jit(
+            lambda p, y: model.apply(
+                {"params": p}, y, method=HiFiC.compress_front_from_latents))
+        # Stage 3: latent quantization + ONE packed uint8 fetch (int8
+        # symbols + escapes; each fetch costs ~30 ms flat + ~21 ms/MB on
+        # this transport, see PERF.md).
+        self._pack_p = jax.jit(
+            lambda p, y, mu, sigma, idx, z_sym, hb: model.apply(
+                {"params": p}, y, mu, sigma, idx, z_sym, hb,
+                method=HiFiC.latent_symbols_packed))
+        # Fully-fused variants: telemetry/diagnostics ONLY (their idx is
+        # NOT coding-safe — see HiFiC.compress_symbols docstring).
         self._compress_syms_p = jax.jit(
             lambda p, x, table: model.apply(
                 {"params": p}, x, table, method=HiFiC.compress_symbols))
-        # ...and the packed variant also collapses the five device->host
-        # fetches (z, y, idx, 2 bit scalars) into ONE uint8 buffer with
-        # int8 latent symbols: each fetch costs ~30 ms flat + ~21 ms/MB on
-        # this transport (see PERF.md).
         self._compress_packed_p = jax.jit(
             lambda p, x, table: model.apply(
                 {"params": p}, x, table,
@@ -148,14 +165,9 @@ class Codec:
                 x = x * 2.0 - 1.0
             return x
 
-        self._compress_packed_u8_p = jax.jit(
-            lambda p, x8, table: model.apply(
-                {"params": p}, _u8_to_model(x8), table,
-                method=HiFiC.compress_symbols_packed))
-        self._compress_syms_u8_p = jax.jit(
-            lambda p, x8, table: model.apply(
-                {"params": p}, _u8_to_model(x8), table,
-                method=HiFiC.compress_symbols))
+        self._front_u8_p = jax.jit(
+            lambda p, x8: model.apply({"params": p}, _u8_to_model(x8),
+                                      method=HiFiC.compress_front))
         self._encoder_tile_u8_p = jax.jit(
             lambda p, x8: model.apply({"params": p}, _u8_to_model(x8),
                                       method=HiFiC.encoder_forward))
@@ -165,14 +177,6 @@ class Codec:
         self._encoder_tile_p = jax.jit(
             lambda p, x: model.apply({"params": p}, x,
                                      method=HiFiC.encoder_forward))
-        self._compress_packed_lat_p = jax.jit(
-            lambda p, y, table: model.apply(
-                {"params": p}, y, table,
-                method=HiFiC.compress_symbols_packed_from_latents))
-        self._compress_syms_lat_p = jax.jit(
-            lambda p, y, table: model.apply(
-                {"params": p}, y, table,
-                method=HiFiC.compress_symbols_from_latents))
         self._gen_packed_u8_p = jax.jit(
             lambda p, y8, pos, val, mu, shape: model.apply(
                 {"params": p}, y8, pos, val, mu, shape,
@@ -180,19 +184,24 @@ class Codec:
             static_argnums=(5,))
         self._shape_cache = {}
 
-        # On-device rANS decode (entropy/device_decode.py): decompression as
-        # ONE tiny upload (hyper symbols + coded stream) + ONE dispatch +
-        # the uint8 image download. Tables ship to the device lazily, once.
+        # On-device rANS decode (entropy/device_decode.py): decompression
+        # as ONE tiny upload (hyper symbols + coded stream) + three chained
+        # async dispatches (unpack -> shared synth_stats -> scan+generate)
+        # + the uint8 image download. The middle dispatch is the SAME
+        # executable every encode path used for the coding indices
+        # (HiFiC.synth_stats — bit-identity requirement); the unpack and
+        # finish stages are integer/generator work with no such constraint.
+        # Tables ship to the device lazily, once.
         self._dd_tables = None
 
-        def _device_decode_fn(p, buf, t_pair, maxv, offs, scale_table,
-                              z_shape, out_hw):
-            from hific_tpu.entropy.device_decode import (
-                decode_scan, unpack_decode_input)
+        def _dd_unpack_fn(buf, z_shape):
+            from hific_tpu.entropy.device_decode import unpack_decode_input
 
-            z_sym, stream = unpack_decode_input(buf, z_shape)
-            mu, _, idx = model.apply({"params": p}, z_sym, scale_table,
-                                     method=HiFiC.synth_stats)
+            return unpack_decode_input(buf, z_shape)
+
+        def _dd_finish_fn(p, stream, mu, idx, t_pair, maxv, offs, out_hw):
+            from hific_tpu.entropy.device_decode import decode_scan
+
             _, hy, wy, c = idx.shape
             idx_l = idx.reshape(hy * wy, c).astype(jnp.int32)
             y_sym = decode_scan(stream, idx_l, t_pair, maxv, offs)
@@ -200,32 +209,38 @@ class Codec:
             img = model.apply({"params": p}, y, out_hw, method=HiFiC.generate)
             return (img * 255.0 + 0.5).astype(jnp.uint8)
 
-        self._device_decode_p = jax.jit(_device_decode_fn,
-                                        static_argnums=(6, 7))
-        # Chunked variant (same unroll-not-vmap trade as
-        # _device_compress_batch_p): B same-shape images' packed decode
-        # inputs as one [B, buflen] upload, one dispatch, one
-        # [B,1,H,W,3] uint8 download.
-        self._device_decode_batch_p = jax.jit(
-            lambda p, bufs, t_pair, maxv, offs, st, z_shape, out_hw:
-                jnp.stack([_device_decode_fn(
-                    p, bufs[i], t_pair, maxv, offs, st, z_shape, out_hw)
-                    for i in range(bufs.shape[0])]),
-            static_argnums=(6, 7))
+        self._dd_unpack_p = jax.jit(_dd_unpack_fn, static_argnums=(1,))
+        self._dd_finish_p = jax.jit(_dd_finish_fn, static_argnums=(7,))
+        # Chunked variants (same unroll-not-vmap trade as the encode-side
+        # batch programs): B same-shape images' packed decode inputs as one
+        # [B, buflen] upload and one unpack dispatch returning per-image
+        # tuples (so each z_sym feeds the per-image shared synth_stats),
+        # then one finish dispatch + one [B,1,H,W,3] uint8 download.
+        self._dd_unpack_batch_p = jax.jit(
+            lambda bufs, z_shape: tuple(
+                _dd_unpack_fn(bufs[i], z_shape)
+                for i in range(bufs.shape[0])),
+            static_argnums=(1,))
+        self._dd_finish_batch_p = jax.jit(
+            lambda p, streams, mus, idxs, t_pair, maxv, offs, out_hw:
+                jnp.stack([_dd_finish_fn(
+                    p, streams[i], mus[i], idxs[i], t_pair, maxv, offs,
+                    out_hw) for i in range(len(streams))]),
+            static_argnums=(7,))
 
-        # On-device rANS ENCODE (entropy/device_encode.py): the whole
-        # compress side — transforms + quantization + entropy coding — in
-        # ONE program, fetching only head words + spilled stream words
-        # (~the .hfc payload) instead of ~2 MB of raw symbols + indices.
-        def _device_compress_fn(p, x, y_cdf, y_len, y_off, z_cdf, z_len,
-                                z_off, scale_table):
+        # On-device rANS ENCODE (entropy/device_encode.py): quantization +
+        # entropy coding DOWNSTREAM of the shared synth_stats executable
+        # (mu/sigma/idx arrive as device-resident arguments — the coding
+        # indices must be bit-identical to the decoder's recompute, see
+        # HiFiC.synth_stats). Fetches only head words + spilled stream
+        # words (~the .hfc payload) instead of ~2 MB of raw symbols +
+        # indices.
+        def _dev_scan_pack_fn(p, y, mu, sigma, idx, z_sym, hb,
+                              y_cdf, y_len, y_off, z_cdf, z_len, z_off):
             from hific_tpu.entropy.device_encode import encode_scan
 
-            if x.dtype == jnp.uint8:
-                x = _u8_to_model(x)
-            z_sym, y_sym, idx, hb, lb = model.apply(
-                {"params": p}, x, scale_table,
-                method=HiFiC.compress_symbols)
+            y_sym, lb = model.apply({"params": p}, y, mu, sigma, None,
+                                    method=HiFiC.latent_symbols)
             _, hy, wy, cy = y_sym.shape
             _, hz, wz, cz = z_sym.shape
             y_l = y_sym.reshape(hy * wy, cy).astype(jnp.int32)
@@ -246,18 +261,30 @@ class Codec:
                 y_out[2], z_out[2],                         # spill buffers
             ])
 
-        self._device_compress_p = jax.jit(_device_compress_fn)
-        # Chunked variant: B same-shape images as ONE upload + ONE dispatch
-        # + ONE fetch (each RPC leg pays ~30 ms flat on relayed
-        # transports). Deliberately an UNROLLED stack of the per-image
-        # program, not a vmap: vmap select-ifies the escape `lax.cond`s
-        # into always-executed branches, which measured ~2x slower than
-        # two serial dispatches; unrolling keeps the per-image subgraphs
-        # (and their scalar conds) bit-identical to the serial path.
-        self._device_compress_batch_p = jax.jit(
-            lambda p, xs, *tabs: jnp.stack(
-                [_device_compress_fn(p, xs[i], *tabs)
-                 for i in range(xs.shape[0])]))
+        self._dev_scan_pack_p = jax.jit(_dev_scan_pack_fn)
+        # Chunked front stage: B same-shape images as ONE upload + ONE
+        # dispatch, returning B PER-IMAGE (y, z_sym, hb) tuples (not a
+        # stacked batch) so each image's z_sym feeds the per-image shared
+        # synth_stats executable directly — no slice dispatches, and the
+        # coding indices stay bit-identical to every decode path.
+        # Deliberately an UNROLLED tuple of the per-image program, not a
+        # vmap (vmap select-ifies per-image `lax.cond`s into always-
+        # executed branches — measured ~2x slower).
+        self._front_batch_p = jax.jit(
+            lambda p, xs: tuple(
+                model.apply({"params": p},
+                            _u8_to_model(xs[i]) if xs.dtype == jnp.uint8
+                            else xs[i],
+                            method=HiFiC.compress_front)
+                for i in range(xs.shape[0])))
+        # Chunked scan-pack stage: B images' buffers in ONE dispatch + ONE
+        # stacked fetch (each RPC leg pays ~30 ms flat on relayed
+        # transports).
+        self._dev_scan_pack_batch_p = jax.jit(
+            lambda p, ys, mus, sigmas, idxs, z_syms, hbs, *tabs: jnp.stack(
+                [_dev_scan_pack_fn(p, ys[i], mus[i], sigmas[i], idxs[i],
+                                   z_syms[i], hbs[i], *tabs)
+                 for i in range(len(ys))]))
 
         # The density closures only touch the (tiny) hyperprior params.
         hp_params = {"hyperprior": params["hyperprior"]}
@@ -326,10 +353,16 @@ class Codec:
             y_sym[esc_pos[live]] = esc_val[live]
         return (z_sym, y_sym.reshape(y_shape), idx, hyper_bits, latent_bits)
 
-    def _device_compress(self, x, spatial_shape, tile_image=None,
-                         halo_image=64):
-        """Single-dispatch, single-fetch device compression. Returns numpy
-        (z_sym, y_sym, idx, hyper_bits, latent_bits).
+    def _enqueue_host_compress(self, x, tile_image=None, halo_image=64):
+        """Enqueue the three device stages of host-coder compression
+        (front -> shared synth_stats -> packed fetch buffer); returns the
+        device buffer + shapes + the stage handles needed for the escape-
+        overflow fallback. All stages exchange device-resident arrays; the
+        only fetch is the packed buffer (async until read).
+
+        The coding indices inside the buffer come from `_synth_stats_p` —
+        the SAME executable every decode path runs (see that method's
+        docstring for the determinism requirement).
 
         tile_image: run the encoder on image tiles of this size with
         `halo_image` pixels of context (both multiples of 16) — bounded
@@ -341,27 +374,34 @@ class Codec:
 
             enc_tile = (self._encoder_tile_u8_p if is_u8
                         else self._encoder_tile_p)
-            y = tiled_downsample_apply(
+            y_raw = tiled_downsample_apply(
                 lambda t: enc_tile(self.params, t), x,
                 scale=ENC_SCALE, tile=tile_image, halo=halo_image)
-            buf = np.asarray(self._compress_packed_lat_p(
-                self.params, y, self._scale_table_dev))
-            z_shape, y_shape = self._symbol_shapes(y.shape, from_latents=True)
-            z_sym, y_sym, idx, hb, lb = self._unpack_compressed(
-                buf, z_shape, y_shape)
-            if y_sym is None:
-                _, y16, _, _, _ = self._compress_syms_lat_p(
-                    self.params, y, self._scale_table_dev)
-                y_sym = np.asarray(y16)
-            return z_sym, y_sym, idx, hb, lb
-        packed = self._compress_packed_u8_p if is_u8 else self._compress_packed_p
-        syms = self._compress_syms_u8_p if is_u8 else self._compress_syms_p
-        buf = np.asarray(packed(self.params, x, self._scale_table_dev))
-        z_shape, y_shape = self._symbol_shapes(x.shape)
+            y, z_sym, hb = self._front_lat_p(self.params, y_raw)
+            z_shape, y_shape = self._symbol_shapes(y_raw.shape,
+                                                   from_latents=True)
+        else:
+            front = self._front_u8_p if is_u8 else self._front_p
+            y, z_sym, hb = front(self.params, x)
+            z_shape, y_shape = self._symbol_shapes(x.shape)
+        mu, sigma, idx = self._synth_stats_p(self.params, z_sym,
+                                             self._scale_table_dev)
+        buf = self._pack_p(self.params, y, mu, sigma, idx, z_sym, hb)
+        return buf, z_shape, y_shape, (y, mu, sigma)
+
+    def _device_compress(self, x, spatial_shape, tile_image=None,
+                         halo_image=64):
+        """Device transforms + quantization for host-coder compression.
+        Returns numpy (z_sym, y_sym, idx, hyper_bits, latent_bits); ONE
+        packed fetch (plus an int16 symbol fetch on the statistically-rare
+        escape overflow)."""
+        buf, z_shape, y_shape, stats = self._enqueue_host_compress(
+            x, tile_image=tile_image, halo_image=halo_image)
         z_sym, y_sym, idx, hb, lb = self._unpack_compressed(
-            buf, z_shape, y_shape)
+            np.asarray(buf), z_shape, y_shape)
         if y_sym is None:  # >N_LATENT_ESCAPES int8 escapes: unpacked path
-            _, y16, _, _, _ = syms(self.params, x, self._scale_table_dev)
+            y_res, mu, sigma = stats
+            y16, _ = self._latent_syms_p(self.params, y_res, mu, sigma, None)
             y_sym = np.asarray(y16)
         return z_sym, y_sym, idx, hb, lb
 
@@ -381,11 +421,16 @@ class Codec:
         return self._enc_tables_dev
 
     def _enqueue_device_compress(self, x):
-        """Enqueue the fused transforms+entropy-coding program; returns
-        (device buffer, z_shape, y_shape) — caller unpacks (async-safe)."""
+        """Enqueue the device-coder compression stages (front -> shared
+        synth_stats -> entropy-coding scan); returns (device buffer,
+        z_shape, y_shape) — caller unpacks (async-safe)."""
         z_shape, y_shape = self._symbol_shapes(x.shape)
-        buf = self._device_compress_p(self.params, x, *self._enc_tables(),
-                                      self._scale_table_dev)
+        front = self._front_u8_p if x.dtype == jnp.uint8 else self._front_p
+        y, z_sym, hb = front(self.params, x)
+        mu, sigma, idx = self._synth_stats_p(self.params, z_sym,
+                                             self._scale_table_dev)
+        buf = self._dev_scan_pack_p(self.params, y, mu, sigma, idx, z_sym,
+                                    hb, *self._enc_tables())
         return buf, z_shape, y_shape
 
     def _unpack_device_compress(self, buf, z_shape, y_shape, spatial_shape):
@@ -495,10 +540,12 @@ class Codec:
                 return out
             # capacity fallback: host coder below
 
-        # Device: transforms + quantization + rate estimates, fused into a
-        # single dispatch AND a single packed fetch (int8 symbols + uint8
-        # indices; synth_stats inside consumes the DECODED symbols exactly
-        # as the decoder side does; the coder is lossless — tested).
+        # Device: transforms + quantization + rate estimates as three
+        # chained async dispatches and ONE packed fetch (int8 symbols +
+        # uint8 indices). The middle dispatch is the shared synth_stats
+        # executable — the same compiled program every decoder runs on the
+        # decoded hyperlatent symbols, which is what makes the coding
+        # indices bit-identical across encode/decode (HiFiC.synth_stats).
         z_sym, y_sym, idx, hyper_bits, latent_bits = self._device_compress(
             x, spatial_shape, tile_image=tile_image, halo_image=halo_image)
         return self._finish_compress(z_sym, y_sym, idx, hyper_bits,
@@ -567,12 +614,15 @@ class Codec:
             int(s) for s in out.spatial_shape)
 
     def _device_decode_u8(self, out: CompressionOutput):
-        """Enqueue the fused device decode for one image; returns the device
+        """Enqueue the device decode for one image (unpack -> shared
+        synth_stats -> scan+generate, chained async); returns the device
         array (caller converts/blocks — keeps batch pipelining async)."""
         buf, z_shape, out_hw = self._device_decode_input(out)
-        return self._device_decode_p(
-            self.params, jnp.asarray(buf), *self._dd_tables,
-            self._scale_table_dev, z_shape, out_hw)
+        z_sym, stream = self._dd_unpack_p(jnp.asarray(buf), z_shape)
+        mu, _, idx = self._synth_stats_p(self.params, z_sym,
+                                         self._scale_table_dev)
+        return self._dd_finish_p(self.params, stream, mu, idx,
+                                 *self._dd_tables, out_hw)
 
     def decompress(self, out: CompressionOutput,
                    tile_latents: Optional[int] = None,
@@ -713,16 +763,26 @@ class Codec:
                        and (len(inputs[j][0]),) + inputs[j][1:] == key):
                     j += 1
                 if j - i == 1:
-                    img = self._device_decode_p(
-                        self.params, jnp.asarray(buf), *self._dd_tables,
-                        self._scale_table_dev, z_shape, out_hw)
+                    z_sym, stream = self._dd_unpack_p(jnp.asarray(buf),
+                                                      z_shape)
+                    mu, _, idx = self._synth_stats_p(self.params, z_sym,
+                                                     self._scale_table_dev)
+                    img = self._dd_finish_p(self.params, stream, mu, idx,
+                                            *self._dd_tables, out_hw)
                     staged.append((img, 0))
                 else:
                     bufs = jnp.asarray(np.stack([b for b, _, _ in
                                                  inputs[i:j]]))
-                    imgs = self._device_decode_batch_p(
-                        self.params, bufs, *self._dd_tables,
-                        self._scale_table_dev, z_shape, out_hw)
+                    unpacked = self._dd_unpack_batch_p(bufs, z_shape)
+                    stats = [self._synth_stats_p(self.params, zs,
+                                                 self._scale_table_dev)
+                             for zs, _ in unpacked]
+                    imgs = self._dd_finish_batch_p(
+                        self.params,
+                        tuple(st for _, st in unpacked),     # streams
+                        tuple(s[0] for s in stats),          # mus
+                        tuple(s[2] for s in stats),          # idxs
+                        *self._dd_tables, out_hw)
                     staged.append((imgs, j - i))
                 i = j
             results = []
@@ -863,13 +923,24 @@ class Codec:
         # Reshard the assembled latents onto the default device for the
         # hyper/symbol stages (image-resolution/256 work): device_put keeps
         # the gather inside the runtime (ICI on a real mesh) instead of a
-        # blocking host round trip, and dispatch stays async.
-        y = jax.device_put(y, jax.devices()[0])
-        z_sym, y_sym, idx, hb, lb = (np.asarray(a) for a in
-                                     self._compress_syms_lat_p(
-                                         self.params, y,
-                                         self._scale_table_dev))
-        return self._finish_compress(z_sym, y_sym, idx, float(hb), float(lb),
+        # blocking host round trip, and dispatch stays async. The symbol
+        # stages route through the SAME per-image synth_stats executable as
+        # every other encode/decode path (idx bit-identity requirement) —
+        # its latent-resolution work is small next to the sharded encoder.
+        y_raw = jax.device_put(y, jax.devices()[0])
+        y, z_sym_d, hb = self._front_lat_p(self.params, y_raw)
+        mu, sigma, idx_d = self._synth_stats_p(self.params, z_sym_d,
+                                               self._scale_table_dev)
+        buf = np.asarray(self._pack_p(self.params, y, mu, sigma, idx_d,
+                                      z_sym_d, hb))
+        z_shape, y_shape = self._symbol_shapes(y_raw.shape,
+                                               from_latents=True)
+        z_sym, y_sym, idx, hb, lb = self._unpack_compressed(
+            buf, z_shape, y_shape)
+        if y_sym is None:  # escape overflow: unpacked int16 path
+            y16, _ = self._latent_syms_p(self.params, y, mu, sigma, None)
+            y_sym = np.asarray(y16)
+        return self._finish_compress(z_sym, y_sym, idx, hb, lb,
                                      spatial_shape)
 
     def decompress_spatial(self, out: CompressionOutput, mesh,
@@ -1019,24 +1090,32 @@ class Codec:
             prepped.append((spatial_shape, x))
 
         if all(self._device_encode_eligible(x, None) for _, x in prepped):
-            # Device entropy encode: every image is one fused program, and
-            # consecutive same-shape HOST images are batched pipeline_chunk
-            # at a time into a single UNROLLED-stack program (one upload,
-            # one dispatch, one fetch per chunk; vmap would select-ify the
-            # escape lax.conds for ~2x compute — see _device_compress_batch_p
-            # and PERF.md). All chunks are enqueued before blocking on any
-            # fetch.
+            # Device entropy encode: per image, three chained async
+            # dispatches (front -> shared synth_stats -> coding scan; the
+            # middle one is the determinism-critical shared executable —
+            # see HiFiC.synth_stats). Consecutive same-shape images batch
+            # pipeline_chunk at a time: front and scan stages ride ONE
+            # unrolled-stack program each (one upload, one dispatch, one
+            # fetch per chunk; vmap would select-ify the escape lax.conds
+            # for ~2x compute — PERF.md), while synth_stats stays PER-IMAGE
+            # by requirement. All chunks are enqueued before blocking on
+            # any fetch.
             chunk = self.pipeline_chunk
             staged_dev = []
             i, n = 0, len(prepped)
             while i < n:
                 ss, x = prepped[i]
                 j = i + 1
-                if isinstance(x, np.ndarray):
-                    key = (tuple(x.shape), x.dtype)
+                if chunk > 1:
+                    # Host images chunk into ONE stacked upload; device-
+                    # resident images chunk too (jnp.stack is device-side)
+                    # — the win there is one dispatch + one result fetch
+                    # per chunk instead of per image.
+                    is_np = isinstance(x, np.ndarray)
+                    key = (is_np, tuple(x.shape), x.dtype)
                     while (j < n and j - i < chunk
-                           and isinstance(prepped[j][1], np.ndarray)
-                           and (tuple(prepped[j][1].shape),
+                           and (isinstance(prepped[j][1], np.ndarray),
+                                tuple(prepped[j][1].shape),
                                 prepped[j][1].dtype) == key):
                         j += 1
                 group = prepped[i:j]
@@ -1050,11 +1129,23 @@ class Codec:
                         ("one", group,
                          self._enqueue_device_compress(jnp.asarray(x))))
                 else:
-                    xs = jnp.asarray(np.stack([g[1] for g in group]))
+                    xs = (jnp.asarray(np.stack([g[1] for g in group]))
+                          if isinstance(group[0][1], np.ndarray)
+                          else jnp.stack([g[1] for g in group]))
                     shapes = self._symbol_shapes(group[0][1].shape)
-                    bufs = self._device_compress_batch_p(
-                        self.params, xs, *self._enc_tables(),
-                        self._scale_table_dev)
+                    fronts = self._front_batch_p(self.params, xs)
+                    stats = [self._synth_stats_p(self.params, zs,
+                                                 self._scale_table_dev)
+                             for _, zs, _ in fronts]
+                    bufs = self._dev_scan_pack_batch_p(
+                        self.params,
+                        tuple(f[0] for f in fronts),         # ys
+                        tuple(s[0] for s in stats),          # mus
+                        tuple(s[1] for s in stats),          # sigmas
+                        tuple(s[2] for s in stats),          # idxs
+                        tuple(f[1] for f in fronts),         # z_syms
+                        tuple(f[2] for f in fronts),         # hbs
+                        *self._enc_tables())
                     staged_dev.append(("batch", group, (bufs,) + shapes))
                 i = j
 
@@ -1081,20 +1172,18 @@ class Codec:
         # enqueued before the host blocks on any symbols.
         staged = []
         for spatial_shape, x in prepped:
-            packed = (self._compress_packed_u8_p if x.dtype == jnp.uint8
-                      else self._compress_packed_p)
-            buf = packed(self.params, x, self._scale_table_dev)
-            staged.append((spatial_shape, x, buf))
+            buf, z_shape, y_shape, stats = self._enqueue_host_compress(
+                jnp.asarray(x))
+            staged.append((spatial_shape, buf, z_shape, y_shape, stats))
 
         outputs = []
-        for spatial_shape, x, buf in staged:
-            z_shape, y_shape = self._symbol_shapes(x.shape)
+        for spatial_shape, buf, z_shape, y_shape, stats in staged:
             z_sym, y_sym, idx, hyper_bits, latent_bits = (
                 self._unpack_compressed(np.asarray(buf), z_shape, y_shape))
             if y_sym is None:  # escape overflow: unpacked int16 path
-                syms = (self._compress_syms_u8_p if x.dtype == jnp.uint8
-                        else self._compress_syms_p)
-                _, y16, _, _, _ = syms(self.params, x, self._scale_table_dev)
+                y_res, mu, sigma = stats
+                y16, _ = self._latent_syms_p(self.params, y_res, mu, sigma,
+                                             None)
                 y_sym = np.asarray(y16)
             z_sym_np = _to_nchw(z_sym).astype(np.int32)
             y_sym_np = _to_nchw(y_sym).astype(np.int32)

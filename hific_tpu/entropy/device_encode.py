@@ -190,10 +190,22 @@ def _push_overflow(hi, lo, of, widths, payload, max_w, n_marker,
 
 
 def default_caps(p: int, lanes: int) -> Tuple[int, int]:
-    """(spill_cap, lens_cap): ~8 bits/symbol of stream allowance and 4 push
-    events/position. Generous for any sane operating point; the kernel
-    reports true demand so callers can fall back when exceeded."""
-    return p * lanes // 4 + 4096, 4 * p + 64
+    """(spill_cap, lens_cap): ~2 bits/symbol of stream allowance and 4 push
+    events/position.
+
+    The spill cap sizes the kernel's carried buffer AND the fetched result
+    (the whole statically-shaped buffer crosses the wire): at the old
+    8 bits/symbol allowance the 1 MP flagship fetch was ~1 MB of mostly
+    zeros (~20 ms of pure wire waste per image on the tunneled transport,
+    PERF.md round 5). 2 bits/symbol is still ~5x the worst sane HiFiC
+    operating point (~0.4 bit/symbol at 0.45 image bpp). The kernel
+    reports true demand, so an exceeded cap falls back to the host coder
+    losslessly — the cap trades a statistically-rare slow path for a
+    ~4x smaller fetch on every image. The lens (event-count) buffer stays
+    at 4 events/position: it is ~4% of the spill buffer's bytes, and
+    adversarial distributions (tests use 30% escapes) legitimately push
+    >1 event/position."""
+    return p * lanes // 16 + 4096, 4 * p + 64
 
 
 

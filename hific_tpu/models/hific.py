@@ -178,9 +178,19 @@ class HiFiC(nn.Module):
     def synth_stats(self, z_sym, scale_table):
         """Decoded hyperlatent symbols -> (mu, sigma, scale-table indices).
 
-        ONE program shared by encoder and decoder sides, so the entropy
-        coder's CDF-row indices are bit-identical on both (the codec's core
-        determinism invariant; reference hyperprior.py:208-218 vs 256-265).
+        THE one executable both coder sides must source CDF-row indices
+        from — Codec jits exactly one program over this method per z-shape
+        (`Codec._synth_stats_p`), and every encode AND decode path calls
+        that same program. Sharing the *source* is NOT enough: XLA fuses a
+        copy of this computation embedded in a larger program differently
+        (layout/tiling choices change float accumulation order), and the
+        resulting sigma drift flips scale-bucket indices — measured 3744
+        flipped indices out of 2.7M at a (128,96) latent grid on TPU,
+        which desyncs the rANS lanes and destroys the image (round-5
+        diagnosis, scripts/diag_flagship5.py). Same compiled executable on
+        identical avals => bit-identical indices (the codec's core
+        determinism invariant; reference hyperprior.py:208-218 vs 256-265
+        gets this for free from eager per-op kernels).
         scale_table: (levels,) jnp array.
         """
         z_q = z_sym.astype(jnp.float32)
@@ -199,15 +209,41 @@ class HiFiC(nn.Module):
         bits = -jnp.sum(jnp.log(lik + 1e-9)) / jnp.log(2.0)
         return y_sym.astype(jnp.int16), bits
 
-    def compress_symbols(self, x, scale_table):
-        """Fused device side of Codec.compress — ONE dispatch on relayed
-        transports (per-dispatch latency is ~30 ms there, and the unfused
-        path costs four).
+    def compress_front(self, x):
+        """x -> (padded latents y, z_sym int16, hyper Shannon bits): every
+        codec stage UPSTREAM of synth_stats, fused into one program. mu/
+        sigma/idx are deliberately NOT produced here — the coding indices
+        must come from the standalone synth_stats executable (see its
+        docstring for why a fused copy is not bit-identical)."""
+        y, _ = self.encode(x)
+        z_sym, hyper_bits = self.code_hyper(y)
+        return y, z_sym, hyper_bits
 
-        x -> (z_sym, y_sym, idx, hyper_bits, latent_bits). Uses the same
-        synth_stats program as the decoder (int16 symbols in), preserving
-        the encode/decode determinism invariant.
-        """
+    def compress_front_from_latents(self, y):
+        """compress_front downstream of the encoder, on explicit latents
+        (encode-side tiling / SP assemble the latents elsewhere). Pads y to
+        the hyper downsampling factor exactly as `encode` does (idempotent
+        on already-padded latents)."""
+        y = pad_factor(y, 2 ** self.hyperprior.analysis_net.n_downsampling_layers)
+        z_sym, hyper_bits = self.code_hyper(y)
+        return y, z_sym, hyper_bits
+
+    def latent_symbols_packed(self, y, mu, sigma, idx, z_sym, hyper_bits):
+        """Latent quantization + single-buffer packing, DOWNSTREAM of the
+        shared synth_stats executable (whose mu/sigma/idx arrive as device-
+        resident arguments). Packed layout identical to
+        compress_symbols_packed — one uint8 fetch for the host coder."""
+        y_sym, latent_bits = self.latent_symbols(y, mu, sigma, None)
+        return _pack_codec_outputs(z_sym, y_sym, idx, hyper_bits,
+                                   latent_bits)
+
+    def compress_symbols(self, x, scale_table):
+        """Fully-fused x -> (z_sym, y_sym, idx, hyper_bits, latent_bits) in
+        ONE program. TELEMETRY/DIAGNOSTIC USE ONLY: its fused synth-stats
+        copy is NOT bit-identical to the standalone synth_stats executable
+        (see synth_stats docstring), so its idx must never feed the entropy
+        coder — Codec routes all coding through compress_front +
+        _synth_stats_p instead."""
         y, _ = self.encode(x)
         return self.compress_symbols_from_latents(y, scale_table)
 
@@ -218,10 +254,9 @@ class HiFiC(nn.Module):
         return self.encoder(x)
 
     def compress_symbols_from_latents(self, y, scale_table):
-        """Codec stages downstream of the encoder, on explicit latents —
-        entry point for encode-side tiling, where y was assembled from
-        encoder tiles. Pads y to the hyper downsampling factor exactly as
-        `encode` does (idempotent on already-padded latents)."""
+        """Fused codec stages downstream of the encoder, on explicit
+        latents. TELEMETRY/DIAGNOSTIC USE ONLY — like compress_symbols, its
+        fused synth-stats copy must never feed the entropy coder."""
         y = pad_factor(y, 2 ** self.hyperprior.analysis_net.n_downsampling_layers)
         z_sym, hyper_bits = self.code_hyper(y)
         mu, sigma, idx = self.synth_stats(z_sym, scale_table)
@@ -237,6 +272,9 @@ class HiFiC(nn.Module):
         uint8 buffer, so the host needs a single fetch (each device->host
         read costs ~30 ms flat on relayed transports, and the unpacked path
         needs five: z, y, idx, and two bit-count scalars).
+        TELEMETRY/DIAGNOSTIC USE ONLY (fused synth-stats — see
+        compress_symbols); the live host-coder path is compress_front +
+        synth_stats + latent_symbols_packed.
 
         Latent symbols ship as int8 + up to N_LATENT_ESCAPES exceptions
         (flat index, int16 value); symbols outside int8 are virtually

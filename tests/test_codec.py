@@ -198,6 +198,37 @@ def test_tiny_image_and_bucketing(tiny_codec):
     assert len(out_b.latents_encoded) > len(out.latents_encoded)
 
 
+def test_coding_idx_comes_from_shared_synth_stats(tiny_codec):
+    """The CDF-row indices the encoder codes with must be EXACTLY the
+    output of the standalone `_synth_stats_p` executable on the coded
+    hyperlatent symbols — the same program every decoder runs. A fused
+    recompute of the same math is NOT bit-identical across XLA programs
+    (round-5 TPU diagnosis: 3744/2.7M flipped indices at a (128,96) latent
+    grid => rANS desync => destroyed image; scripts/diag_flagship5.py).
+    This pins the structural invariant on every backend."""
+    x = np.random.RandomState(11).rand(1, 80, 96, 3).astype(np.float32)
+
+    # Host-coder path: indices travel inside the packed buffer.
+    buf, z_shape, y_shape, _ = tiny_codec._enqueue_host_compress(
+        jnp.asarray(x))
+    z_sym, _, idx_coded, _, _ = tiny_codec._unpack_compressed(
+        np.asarray(buf), z_shape, y_shape)
+    _, _, idx_ref = tiny_codec._synth_stats_p(
+        tiny_codec.params, jnp.asarray(z_sym, jnp.int16),
+        tiny_codec._scale_table_dev)
+    np.testing.assert_array_equal(idx_coded, np.asarray(idx_ref))
+
+    # Decoder side re-derives indices from the decoded hyperlatents via the
+    # same executable: the full round trip must therefore be exact.
+    out = tiny_codec.compress(x)
+    z_dec = tiny_codec.factorized.decompress_symbols(
+        out.hyperlatents_encoded, out.batch_shape,
+        out.hyperlatent_spatial_shape, vectorize=True)
+    np.testing.assert_array_equal(
+        z_dec.reshape(np.asarray(z_sym).transpose(0, 3, 1, 2).shape),
+        np.asarray(z_sym).transpose(0, 3, 1, 2))
+
+
 def test_corrupt_container_rejected(tiny_codec, tmp_path):
     x = np.random.RandomState(5).rand(1, 64, 64, 3).astype(np.float32)
     path = os.path.join(tmp_path, "c.hfc")
