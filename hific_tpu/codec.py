@@ -237,7 +237,8 @@ class Codec:
         # indices.
         def _dev_scan_pack_fn(p, y, mu, sigma, idx, z_sym, hb,
                               y_cdf, y_len, y_off, z_cdf, z_len, z_off):
-            from hific_tpu.entropy.device_encode import encode_scan
+            from hific_tpu.entropy.device_encode import (
+                Z_SPILL_BITS, default_caps, encode_scan)
 
             y_sym, lb = model.apply({"params": p}, y, mu, sigma, None,
                                     method=HiFiC.latent_symbols)
@@ -249,7 +250,9 @@ class Codec:
             zi_l = jnp.broadcast_to(
                 jnp.arange(cz, dtype=jnp.int32)[None], (hz * wz, cz))
             y_out = encode_scan(y_l, yi_l, y_cdf, y_len, y_off)
-            z_out = encode_scan(z_l, zi_l, z_cdf, z_len, z_off)
+            z_sp, z_le = default_caps(hz * wz, cz, Z_SPILL_BITS)
+            z_out = encode_scan(z_l, zi_l, z_cdf, z_len, z_off,
+                                spill_cap=z_sp, lens_cap=z_le)
             scalars = jnp.stack([y_out[4], y_out[5], z_out[4], z_out[5]])
             bits = jax.lax.bitcast_convert_type(
                 jnp.stack([hb.astype(jnp.float32),
@@ -437,7 +440,8 @@ class Codec:
         """Parse the packed encode output into a CompressionOutput, or None
         when a capacity cap was exceeded (caller falls back to the host
         coder — statistically impossible at sane bitrates, but checked)."""
-        from hific_tpu.entropy.device_encode import (assemble_stream,
+        from hific_tpu.entropy.device_encode import (Z_SPILL_BITS,
+                                                     assemble_stream,
                                                      default_caps)
 
         buf = np.asarray(buf)
@@ -445,7 +449,7 @@ class Codec:
         _, hy, wy, cy = y_shape
         py, pz = hy * wy, hz * wz
         y_sp, y_le = default_caps(py, cy)
-        z_sp, z_le = default_caps(pz, cz)
+        z_sp, z_le = default_caps(pz, cz, Z_SPILL_BITS)
         y_scur, y_ecur, z_scur, z_ecur = (int(v) for v in buf[0:4])
         if (y_scur > y_sp or y_ecur > y_le or z_scur > z_sp
                 or z_ecur > z_le):

@@ -189,23 +189,33 @@ def _push_overflow(hi, lo, of, widths, payload, max_w, n_marker,
     return hi, lo, spill, lens, s_cur, e_cur
 
 
-def default_caps(p: int, lanes: int) -> Tuple[int, int]:
-    """(spill_cap, lens_cap): ~2 bits/symbol of stream allowance and 4 push
-    events/position.
+def default_caps(p: int, lanes: int,
+                 bits_per_symbol: int = 2) -> Tuple[int, int]:
+    """(spill_cap, lens_cap): `bits_per_symbol` of stream allowance and 4
+    push events/position.
 
     The spill cap sizes the kernel's carried buffer AND the fetched result
-    (the whole statically-shaped buffer crosses the wire): at the old
-    8 bits/symbol allowance the 1 MP flagship fetch was ~1 MB of mostly
-    zeros (~20 ms of pure wire waste per image on the tunneled transport,
-    PERF.md round 5). 2 bits/symbol is still ~5x the worst sane HiFiC
-    operating point (~0.4 bit/symbol at 0.45 image bpp). The kernel
-    reports true demand, so an exceeded cap falls back to the host coder
-    losslessly — the cap trades a statistically-rare slow path for a
-    ~4x smaller fetch on every image. The lens (event-count) buffer stays
-    at 4 events/position: it is ~4% of the spill buffer's bytes, and
-    adversarial distributions (tests use 30% escapes) legitimately push
-    >1 event/position."""
-    return p * lanes // 16 + 4096, 4 * p + 64
+    (the whole statically-shaped buffer crosses the wire): at a flat
+    8 bits/symbol the 1 MP flagship fetch was ~1 MB of mostly zeros
+    (~20 ms of pure wire waste per image on the tunneled transport,
+    PERF.md round 5). The default 2 bits/symbol is ~5x the worst sane
+    HiFiC LATENT operating point (~0.4 bit/symbol at 0.45 image bpp) —
+    but callers must size each stream for ITS symbol statistics: the
+    HYPERLATENT stream needs ~8 bits/symbol headroom because the learned
+    factorized density is broad at random init / early training (measured
+    5.3 bits/symbol on the bench's random-init model; round-5 lesson —
+    an undersized z cap made every bench image silently pay the host-
+    coder fallback, halving measured throughput). The z buffers are tiny
+    in absolute terms (64x fewer positions than y), so the generous z cap
+    costs ~60 KB of fetch, ~1 ms. The kernel reports true demand, so an
+    exceeded cap still falls back to the host coder losslessly. The lens
+    (event-count) buffer stays at 4 events/position: it is ~4% of the
+    spill buffer's bytes, and adversarial distributions (tests use 30%
+    escapes) legitimately push >1 event/position."""
+    return p * lanes * bits_per_symbol // 32 + 4096, 4 * p + 64
+
+
+Z_SPILL_BITS = 8  # hyperlatent-stream spill allowance (bits/symbol)
 
 
 
