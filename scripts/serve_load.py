@@ -38,6 +38,11 @@ def parse_args():
     p.add_argument("--clients", type=int, default=4)
     p.add_argument("--shape_bucket", type=int, default=None)
     p.add_argument("--coder_threads", type=int, default=1)
+    p.add_argument("--batch_window_ms", type=float, default=None,
+                   help="dispatcher batching window (None = serve default)")
+    p.add_argument("--pipeline_chunk", type=int, default=None,
+                   help="codec pipeline_chunk for the server (None = serve "
+                        "default)")
     return p.parse_args()
 
 
@@ -97,6 +102,10 @@ def main():
              "--coder_threads", str(a.coder_threads)]
     if a.shape_bucket:
         sargs += ["--shape_bucket", str(a.shape_bucket)]
+    if a.batch_window_ms is not None:
+        sargs += ["--batch_window_ms", str(a.batch_window_ms)]
+    if a.pipeline_chunk is not None:
+        sargs += ["--pipeline_chunk", str(a.pipeline_chunk)]
     server = serve_cli.make_server(serve_cli.parse_args(sargs))
     threading.Thread(target=server.serve_forever, daemon=True).start()
     host, port = server.server_address[:2]
