@@ -69,6 +69,11 @@ def parse_args(argv=None):
                    help="within a pipelined group, batch this many "
                         "same-shape images into one device program (one "
                         "upload/dispatch/fetch per chunk); 1 disables")
+    p.add_argument("--wire_chunk", type=int, default=1,
+                   help="batch only the host sync points (stacked buffer/"
+                        "index fetches, stacked symbol uploads) of this "
+                        "many same-shape images; device programs stay "
+                        "per-image. 1 disables")
     p.add_argument("--no_lpips", action="store_true",
                    help="skip the per-image LPIPS column")
     p.add_argument("--lpips_weights", default=None,
@@ -139,7 +144,8 @@ def main(argv=None):
 
     codec = Codec(config, params, vectorize=not a.scalar_rans,
                   coder_threads=a.coder_threads,
-                  pipeline_chunk=a.pipeline_chunk)
+                  pipeline_chunk=a.pipeline_chunk,
+                  wire_chunk=a.wire_chunk)
     logger.info("Building prior probability tables...")
     codec.build_tables()
 

@@ -71,6 +71,11 @@ def parse_args(argv=None):
                         "on ONE device program (one upload/dispatch/fetch "
                         "per chunk) — the lever for small-payload traffic "
                         "where per-RPC flat cost dominates; 1 disables")
+    p.add_argument("--wire_chunk", type=int, default=1,
+                   help="batch only the host sync points (stacked fetches/"
+                        "uploads) of this many same-shape images per "
+                        "dispatch; device programs stay per-image. "
+                        "1 disables")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
@@ -95,9 +100,10 @@ class CodecService:
 
     def __init__(self, config, params, shape_bucket=None, tile_latents=None,
                  coder_threads=1, max_batch=8, batch_window_ms=0.0,
-                 pipeline_chunk=1):
+                 pipeline_chunk=1, wire_chunk=1):
         self.codec = Codec(config, params, coder_threads=coder_threads,
-                           pipeline_chunk=pipeline_chunk)
+                           pipeline_chunk=pipeline_chunk,
+                           wire_chunk=wire_chunk)
         self.codec.build_tables()
         self.shape_bucket = shape_bucket
         self.tile_latents = tile_latents
@@ -313,7 +319,8 @@ def make_server(a, logger=None):
                            coder_threads=a.coder_threads,
                            max_batch=a.max_batch,
                            batch_window_ms=a.batch_window_ms,
-                           pipeline_chunk=a.pipeline_chunk)
+                           pipeline_chunk=a.pipeline_chunk,
+                           wire_chunk=a.wire_chunk)
 
     class _Server(ThreadingHTTPServer):
         def server_close(self):

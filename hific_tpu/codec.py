@@ -49,7 +49,8 @@ class Codec:
     """Evaluation-mode compression/decompression engine."""
 
     def __init__(self, config: Config, params, vectorize: bool = True,
-                 coder_threads: int = 1, pipeline_chunk: int = 1):
+                 coder_threads: int = 1, pipeline_chunk: int = 1,
+                 wire_chunk: int = 1):
         """coder_threads > 1 lane-shards each rANS payload into that many
         independent streams coded in parallel host threads (container v2;
         ~zero size overhead, not reference-interoperable). Decode reads the
@@ -64,12 +65,24 @@ class Codec:
         upload -> compute -> fetch internally; measured 2.99 vs 1.94 MP/s
         on the 4x1MP bench). Chunking pays when per-RPC flat costs (~30 ms
         here) dominate the payload — i.e. batches of SMALL images, where
-        it collapses 3-4 RPCs/image into 3-4 RPCs/chunk."""
+        it collapses 3-4 RPCs/image into 3-4 RPCs/chunk.
+
+        wire_chunk: in compress_many/decompress_many, batch only the host
+        SYNC POINTS (packed-buffer / coding-index fetches, symbol uploads)
+        of this many same-shape images into one stacked transfer each,
+        while every device program stays per-image. Orthogonal to
+        pipeline_chunk (which batches the COMPUTE and measured slower for
+        megapixel images): here the per-RPC flat cost (~28 ms on this
+        transport) is amortized over the chunk without growing any
+        executable. On the host-coder paths it also fans the per-image
+        C++ rANS calls across a thread pool so coding rides under the
+        chip's generator/synthesis time."""
         self.config = config
         self.params = params
         self.vectorize = vectorize
         self.coder_threads = max(1, int(coder_threads))
         self.pipeline_chunk = max(1, int(pipeline_chunk))
+        self.wire_chunk = max(1, int(wire_chunk))
         model = HiFiC(config)
         self._model = model
 
@@ -182,6 +195,11 @@ class Codec:
                 {"params": p}, y8, pos, val, mu, shape,
                 method=HiFiC.generate_u8_from_packed_symbols),
             static_argnums=(5,))
+        # Wire-chunk helper: stacks same-shape per-image device arrays so a
+        # chunk's worth of host fetches collapses into ONE sync RPC (the
+        # stack itself is a chained — i.e. free — device dispatch). One
+        # compile per (arity, shape, dtype), cached by jit.
+        self._stack_p = jax.jit(lambda *xs: jnp.stack(xs))
         self._shape_cache = {}
 
         # On-device rANS decode (entropy/device_decode.py): decompression
@@ -717,7 +735,8 @@ class Codec:
     def decompress_many(self, outs, as_uint8: bool = True,
                         as_numpy: bool = True,
                         tile_latents: Optional[int] = None,
-                        halo_latents: int = 16) -> list:
+                        halo_latents: int = 16,
+                        device_decode: Optional[bool] = None) -> list:
         """Pipelined batch decompression (mirror of compress_many): the
         host rANS-decodes and uploads image i+1's symbols while the device
         synthesizes stats / generates image i, via JAX async dispatch.
@@ -740,8 +759,18 @@ class Codec:
         """
         if not self._tables_built:
             self.build_tables()
-        if (as_uint8 and tile_latents is None
+        if device_decode is None:
+            device_decode = (as_uint8 and tile_latents is None
+                             and all(self._device_decode_eligible(o)
+                                     for o in outs))
+        elif device_decode and not (
+                as_uint8 and tile_latents is None
                 and all(self._device_decode_eligible(o) for o in outs)):
+            raise ValueError(
+                "device_decode=True but a payload is not eligible "
+                "(needs as_uint8, no tiling, unsharded single-image "
+                "streams)")
+        if device_decode:
             chunk = self.pipeline_chunk
             if chunk == 1:
                 # On-device rANS decode: every image is ONE upload + ONE
@@ -812,6 +841,9 @@ class Codec:
                                                  self._scale_table_dev)
             staged.append((out, mu, idx))
 
+        if self.wire_chunk > 1 and as_uint8 and tile_latents is None:
+            return self._host_decode_wire_chunked(staged, as_numpy)
+
         # Stage 2: per image, block on idx, latent rANS (host), enqueue the
         # generator; downloads of earlier reconstructions overlap later
         # images' host work.
@@ -862,6 +894,93 @@ class Codec:
                 recon = self._gen_syms_p(
                     self.params, jnp.asarray(y_nhwc, jnp.int16), mu, (h, w))
             pending.append(recon)
+        if not as_numpy:
+            return pending
+        return [np.asarray(r) for r in pending]
+
+    def _host_decode_wire_chunked(self, staged, as_numpy):
+        """Host-rANS decode leg with chunk-batched wire legs: per
+        `wire_chunk` same-shape images, ONE stacked coding-index fetch
+        (uint8) and ONE stacked int8 symbol upload, with the per-image
+        C++ rANS decodes fanned across a thread pool. Device programs
+        stay per-image (synth_stats is the shared determinism-critical
+        executable; generators enqueue as their symbols arrive), so
+        earlier images' generator time hides later images' host work.
+
+        Rationale (PERF.md round 5): each host sync on this transport
+        costs ~28 ms flat + ~21 ms/MB; the per-image host path pays two
+        of them per image (idx fetch, symbol upload) serially. Batching
+        only the WIRE — not the compute, which measured slower chunked —
+        amortizes the flat cost wire_chunk-fold.
+
+        staged: [(CompressionOutput, mu_device, idx_device), ...] from
+        stage 1 (all synth_stats already enqueued).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        from hific_tpu.models.hific import N_LATENT_ESCAPES as K
+
+        wire = self.wire_chunk
+        groups, i, n = [], 0, len(staged)
+        while i < n:
+            j = i + 1
+            key = tuple(staged[i][2].shape)
+            while (j < n and j - i < wire
+                   and tuple(staged[j][2].shape) == key):
+                j += 1
+            grp = staged[i:j]
+            stack = (self._stack_p(*[g[2] for g in grp])
+                     if j - i > 1 else None)
+            groups.append((grp, stack))
+            i = j
+
+        pending = []
+        with ThreadPoolExecutor(max_workers=wire) as pool:
+            for grp, stack in groups:
+                idxs = (np.asarray(stack) if stack is not None
+                        else np.asarray(grp[0][2])[None])   # ONE fetch
+
+                def dec(k, _grp=grp, _idxs=idxs):
+                    out = _grp[k][0]
+                    idx_np = _to_nchw(_idxs[k]).astype(np.int32)
+                    y = self.conditional.decompress_symbols(
+                        out.latents_encoded, idx_np,
+                        vectorize=self.vectorize, sharded=out.sharded)
+                    return _to_nhwc_int(y)
+
+                ys = list(pool.map(dec, range(len(grp))))
+                packed = []
+                for (out, mu, _), y_nhwc in zip(grp, ys):
+                    y_flat = y_nhwc.reshape(-1)
+                    y8 = np.clip(y_flat, -128, 127).astype(np.int8)
+                    esc = np.nonzero(y_flat != y8.astype(np.int64))[0]
+                    packed.append((out, mu, y_nhwc, y8, esc))
+                ok = [p for p in packed if len(p[4]) <= K]
+                if ok:
+                    # ONE stacked symbol upload for the whole chunk; the
+                    # per-image generator input is a lazy device slice.
+                    y8s = jax.device_put(
+                        np.stack([p[3].reshape(p[2].shape) for p in ok]))
+                    pos = np.full((len(ok), K), -1, np.int32)
+                    val = np.zeros((len(ok), K), np.int16)
+                    for r, p in enumerate(ok):
+                        esc = p[4]
+                        pos[r, :len(esc)] = esc
+                        val[r, :len(esc)] = p[2].reshape(-1)[esc]
+                    pos_d, val_d = jnp.asarray(pos), jnp.asarray(val)
+                kk = 0
+                for out, mu, y_nhwc, y8, esc in packed:
+                    h, w = out.spatial_shape
+                    if len(esc) <= K:
+                        recon = self._gen_packed_u8_p(
+                            self.params, y8s[kk], pos_d[kk], val_d[kk],
+                            mu, (h, w))
+                        kk += 1
+                    else:   # escape overflow: full int16 symbols (rare)
+                        recon = self._gen_syms_u8_p(
+                            self.params, jnp.asarray(y_nhwc, jnp.int16),
+                            mu, (h, w))
+                    pending.append(recon)
         if not as_numpy:
             return pending
         return [np.asarray(r) for r in pending]
@@ -1153,11 +1272,45 @@ class Codec:
                     staged_dev.append(("batch", group, (bufs,) + shapes))
                 i = j
 
+            # Wire-chunked fetch: consecutive per-image ("one") entries
+            # with identical buffer shapes stack device-side so their
+            # result fetches collapse into ONE sync RPC per wire_chunk
+            # (stacks are enqueued for ALL groups before any fetch
+            # blocks). "batch" entries already fetch once per chunk.
+            fetch_stacks = {}
+            if self.wire_chunk > 1:
+                k, m = 0, len(staged_dev)
+                while k < m:
+                    if staged_dev[k][0] != "one":
+                        k += 1
+                        continue
+                    l = k + 1
+                    key = tuple(staged_dev[k][2][0].shape)
+                    while (l < m and l - k < self.wire_chunk
+                           and staged_dev[l][0] == "one"
+                           and tuple(staged_dev[l][2][0].shape) == key):
+                        l += 1
+                    if l - k > 1:
+                        fetch_stacks[k] = self._stack_p(
+                            *[staged_dev[t][2][0] for t in range(k, l)])
+                    k = l
+
             outputs = []
-            for kind, group, (buf, z_shape, y_shape) in staged_dev:
-                rows = np.asarray(buf)           # ONE fetch per chunk
-                if kind == "one":
-                    rows = rows[None]
+            fetched_rows, fetched_at = None, 0
+            for pos, (kind, group, (buf, z_shape, y_shape)) \
+                    in enumerate(staged_dev):
+                if pos in fetch_stacks:
+                    fetched_rows = np.asarray(fetch_stacks[pos])  # ONE RPC
+                    fetched_at = pos
+                if (fetched_rows is not None
+                        and pos - fetched_at < len(fetched_rows)
+                        and kind == "one"):
+                    rows = fetched_rows[pos - fetched_at][None]
+                else:
+                    fetched_rows = None
+                    rows = np.asarray(buf)       # ONE fetch per chunk
+                    if kind == "one":
+                        rows = rows[None]
                 for row, (ss, x) in zip(rows, group):
                     out = self._unpack_device_compress(
                         row, z_shape, y_shape, ss)
@@ -1180,42 +1333,80 @@ class Codec:
                 jnp.asarray(x))
             staged.append((spatial_shape, buf, z_shape, y_shape, stats))
 
-        outputs = []
-        for spatial_shape, buf, z_shape, y_shape, stats in staged:
-            z_sym, y_sym, idx, hyper_bits, latent_bits = (
-                self._unpack_compressed(np.asarray(buf), z_shape, y_shape))
-            if y_sym is None:  # escape overflow: unpacked int16 path
-                y_res, mu, sigma = stats
-                y16, _ = self._latent_syms_p(self.params, y_res, mu, sigma,
-                                             None)
-                y_sym = np.asarray(y16)
-            z_sym_np = _to_nchw(z_sym).astype(np.int32)
-            y_sym_np = _to_nchw(y_sym).astype(np.int32)
-            idx_np = _to_nchw(idx).astype(np.int32)
-            batch, hyper_spatial = z_sym_np.shape[0], z_sym_np.shape[2:]
-            n_pixels = float(np.prod(spatial_shape))
-            hyper_bpp, latent_bpp = (hyper_bits / n_pixels,
-                                     latent_bits / n_pixels)
+        if self.wire_chunk > 1:
+            # Wire-chunked host coding: ONE stacked packed-buffer fetch per
+            # chunk of same-shape images (all stacks enqueued before any
+            # fetch blocks), then the per-image unpack + C++ rANS encodes
+            # fan across a thread pool — the chip runs later images' front/
+            # synth stages while the host codes earlier ones.
+            from concurrent.futures import ThreadPoolExecutor
 
-            z_encoded, hyper_coding_shape = self.factorized.compress_symbols(
-                z_sym_np, vectorize=self.vectorize, shards=self.coder_threads)
-            y_encoded, latent_coding_shape = self.conditional.compress_symbols(
-                y_sym_np, idx_np, vectorize=self.vectorize,
-                shards=self.coder_threads)
-            outputs.append(CompressionOutput(
-                hyperlatents_encoded=z_encoded,
-                latents_encoded=y_encoded,
-                sharded=self.coder_threads > 1,
-                hyperlatent_spatial_shape=tuple(hyper_spatial),
-                spatial_shape=spatial_shape,
-                hyper_coding_shape=tuple(hyper_coding_shape),
-                latent_coding_shape=tuple(latent_coding_shape),
-                batch_shape=batch,
-                hyperlatent_bits=hyper_bits,
-                latent_bits=latent_bits,
-                total_bits=hyper_bits + latent_bits,
-                hyperlatent_bpp=hyper_bpp,
-                latent_bpp=latent_bpp,
-                total_bpp=hyper_bpp + latent_bpp,
-            ))
-        return outputs
+            groups, i, n = [], 0, len(staged)
+            while i < n:
+                j = i + 1
+                key = tuple(staged[i][1].shape)
+                while (j < n and j - i < self.wire_chunk
+                       and tuple(staged[j][1].shape) == key):
+                    j += 1
+                grp = staged[i:j]
+                stack = (self._stack_p(*[g[1] for g in grp])
+                         if j - i > 1 else None)
+                groups.append((grp, stack))
+                i = j
+            outputs = []
+            with ThreadPoolExecutor(max_workers=self.wire_chunk) as pool:
+                for grp, stack in groups:
+                    rows = (np.asarray(stack) if stack is not None
+                            else np.asarray(grp[0][1])[None])  # ONE fetch
+                    outputs.extend(pool.map(
+                        lambda t: self._host_encode_row(
+                            t[0][0], t[1], t[0][2], t[0][3], t[0][4]),
+                        zip(grp, rows)))
+            return outputs
+
+        return [self._host_encode_row(ss, np.asarray(buf), z_shape, y_shape,
+                                      stats)
+                for ss, buf, z_shape, y_shape, stats in staged]
+
+    def _host_encode_row(self, spatial_shape, buf_np, z_shape, y_shape,
+                         stats):
+        """Unpack one fetched encode buffer and host-rANS it into a
+        CompressionOutput (the per-image tail of compress_many's host
+        path; thread-safe — the C++ coder is stateless on caller
+        buffers)."""
+        z_sym, y_sym, idx, hyper_bits, latent_bits = (
+            self._unpack_compressed(buf_np, z_shape, y_shape))
+        if y_sym is None:  # escape overflow: unpacked int16 path
+            y_res, mu, sigma = stats
+            y16, _ = self._latent_syms_p(self.params, y_res, mu, sigma,
+                                         None)
+            y_sym = np.asarray(y16)
+        z_sym_np = _to_nchw(z_sym).astype(np.int32)
+        y_sym_np = _to_nchw(y_sym).astype(np.int32)
+        idx_np = _to_nchw(idx).astype(np.int32)
+        batch, hyper_spatial = z_sym_np.shape[0], z_sym_np.shape[2:]
+        n_pixels = float(np.prod(spatial_shape))
+        hyper_bpp, latent_bpp = (hyper_bits / n_pixels,
+                                 latent_bits / n_pixels)
+
+        z_encoded, hyper_coding_shape = self.factorized.compress_symbols(
+            z_sym_np, vectorize=self.vectorize, shards=self.coder_threads)
+        y_encoded, latent_coding_shape = self.conditional.compress_symbols(
+            y_sym_np, idx_np, vectorize=self.vectorize,
+            shards=self.coder_threads)
+        return CompressionOutput(
+            hyperlatents_encoded=z_encoded,
+            latents_encoded=y_encoded,
+            sharded=self.coder_threads > 1,
+            hyperlatent_spatial_shape=tuple(hyper_spatial),
+            spatial_shape=spatial_shape,
+            hyper_coding_shape=tuple(hyper_coding_shape),
+            latent_coding_shape=tuple(latent_coding_shape),
+            batch_shape=batch,
+            hyperlatent_bits=hyper_bits,
+            latent_bits=latent_bits,
+            total_bits=hyper_bits + latent_bits,
+            hyperlatent_bpp=hyper_bpp,
+            latent_bpp=latent_bpp,
+            total_bpp=hyper_bpp + latent_bpp,
+        )

@@ -43,6 +43,9 @@ def parse_args():
     p.add_argument("--pipeline_chunk", type=int, default=None,
                    help="codec pipeline_chunk for the server (None = serve "
                         "default)")
+    p.add_argument("--wire_chunk", type=int, default=None,
+                   help="codec wire_chunk for the server (None = serve "
+                        "default)")
     return p.parse_args()
 
 
@@ -106,6 +109,8 @@ def main():
         sargs += ["--batch_window_ms", str(a.batch_window_ms)]
     if a.pipeline_chunk is not None:
         sargs += ["--pipeline_chunk", str(a.pipeline_chunk)]
+    if a.wire_chunk is not None:
+        sargs += ["--wire_chunk", str(a.wire_chunk)]
     server = serve_cli.make_server(serve_cli.parse_args(sargs))
     threading.Thread(target=server.serve_forever, daemon=True).start()
     host, port = server.server_address[:2]
